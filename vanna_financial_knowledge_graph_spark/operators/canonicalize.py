@@ -1,0 +1,344 @@
+"""Cross-document entity canonicalization.
+
+The semantic heart of the rebuild (SURVEY.md §2.7): the reference clusters
+in-document entities with an embedding-similarity graph + Union-Find
+(entity_dedup.py:423-646, utils/clustering.py:17-87) and resolves
+cross-document identity against a registry (entity_registry.py:62-212). Here
+the same outcome is computed at cluster scale:
+
+1. A deterministic *similarity-edge builder* over distinct surface forms:
+   registry alias edges (ticker==company, abbreviation==org, name-variant
+   merge rules as data), corporate-suffix-strip edges ("Apple Inc." ~
+   "Apple"), and exact normalized-name identity (the reference's same-name
+   boost, entity_dedup.py:466-481, is an identity here because the node key
+   IS the normalized name).
+2. **Connected components by iterative hash-join label propagation**
+   (min-label fixpoint), `localCheckpoint` per iteration to cut lineage,
+   with an explicit two-phase *salted* min-aggregation so a hot label
+   (AAPL/SEC mega-components) never lands on a single reducer.
+3. A per-component canonical reducer (entity_dedup.py:354-420 semantics):
+   canonical name prefers a registry member, else the longest surface form;
+   merged aliases = other member names; deterministic entity uuid =
+   sha256('entity', group, canonical_norm, entity_type) — replaces the
+   reference's uuid4 (entity_dedup.py:607) for idempotent resume.
+
+Node count = |distinct surface forms| (tiny relative to mentions/facts), so
+every join against the resulting canonical map downstream is a broadcast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textops import norm_name
+from ..gazetteer import registry_rows
+
+GROUP_ID = "default"
+_SALT_BUCKETS = 16
+
+_TYPE_PRIORITY = {
+    "company": 0,
+    "organization": 1,
+    "person": 2,
+    "location": 3,
+    "product": 4,
+    "concept": 5,
+    "unknown": 6,
+}
+
+
+def registry_surfaces_df(spark: SparkSession) -> DataFrame:
+    """(name_norm, canonical_name, canonical_norm, entity_type, definition)
+    for every registry surface (canonical + aliases + ticker)."""
+    dedup: dict[str, tuple] = {}
+    for r in registry_rows():
+        cn = norm_name(r["canonical_name"])
+        surfaces = {r["canonical_name"], *r["aliases"]}
+        if r["ticker"]:
+            surfaces.add(r["ticker"])
+        for s in surfaces:
+            sn = norm_name(s)
+            # one row per normalized surface (case variants collapse);
+            # deterministic winner = lexicographically smallest canonical
+            if sn and (sn not in dedup or dedup[sn][2] > cn):
+                dedup[sn] = (sn, r["canonical_name"], cn, r["entity_type"], r["definition"])
+    return spark.createDataFrame(
+        sorted(dedup.values()),
+        "name_norm string, canonical_name string, canonical_norm string, "
+        "entity_type string, definition string",
+    )
+
+
+def _strip_suffix_col(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """Corporate-suffix strip as an Arrow-batched UDF column."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.textops import strip_corp_suffix
+
+    @pandas_udf("string")
+    def _strip(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: strip_corp_suffix(x) if x else x)
+
+    return df.withColumn(dst, _strip(F.col(src)))
+
+
+def build_entity_nodes_edges(
+    spark: SparkSession, mentions: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Distinct entity surface forms -> (nodes, undirected edges)."""
+    surfaces = (
+        mentions.where(F.col("kind") == "entity")
+        .select("name_norm")
+        .distinct()
+    )
+    reg = registry_surfaces_df(spark)
+    reg_nodes = reg.select("name_norm").union(
+        reg.select(F.col("canonical_norm").alias("name_norm"))
+    )
+
+    # suffix-strip virtual nodes: "apple inc" also materializes "apple"
+    with_strip = _strip_suffix_col(surfaces, "name_norm", "stripped")
+    strip_edges = with_strip.where(F.col("stripped") != F.col("name_norm")).select(
+        F.col("name_norm").alias("src"), F.col("stripped").alias("dst")
+    )
+    alias_edges = reg.where(F.col("name_norm") != F.col("canonical_norm")).select(
+        F.col("name_norm").alias("src"), F.col("canonical_norm").alias("dst")
+    )
+    edges = strip_edges.union(alias_edges).distinct()
+    nodes = (
+        surfaces.union(reg_nodes)
+        .union(edges.select(F.col("dst").alias("name_norm")))
+        .union(edges.select(F.col("src").alias("name_norm")))
+        .distinct()
+        .withColumnRenamed("name_norm", "node")
+    )
+    return nodes, edges
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation to fixpoint -> (node, component).
+
+    Each iteration: every node takes the min of its own label and its
+    neighbors' labels. The min-aggregation is done in two phases keyed by
+    (node, salt(label)) then (node): with AQE skew-join splitting this keeps
+    a mega-component's label traffic spread across reducers. localCheckpoint
+    truncates lineage so the plan doesn't grow with iterations.
+    """
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neigh = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.dst") == F.col("l.node"))
+            .select(F.col("e.src").alias("node"), F.col("l.label").alias("label"))
+        )
+        cand = labels.unionByName(neigh)
+        # two-phase salted min: partial min per (node, salt) bucket, then
+        # final min per node (min is associative, so salting is lossless)
+        partial = (
+            cand.withColumn(
+                "salt", F.pmod(F.xxhash64(F.col("label")), F.lit(_SALT_BUCKETS))
+            )
+            .groupBy("node", "salt")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = (
+            partial.groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("label", "component")
+
+
+def build_canonical_map(
+    spark: SparkSession, mentions: DataFrame, group_id: str = GROUP_ID
+) -> DataFrame:
+    """mentions -> canonical_map(name_norm, entity_uuid, canonical_name,
+    entity_type, component). Small output: one row per distinct surface."""
+    nodes, edges = build_entity_nodes_edges(spark, mentions)
+    comp = connected_components(nodes, edges)
+
+    reg = registry_surfaces_df(spark)
+
+    # Per-node display info: registry wins; else the most frequent surface
+    # spelling from the corpus (deterministic max_by with name tiebreak).
+    surface_counts = (
+        mentions.where(F.col("kind") == "entity")
+        .groupBy("name_norm", "name", "entity_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    surface_pick = (
+        surface_counts.groupBy("name_norm")
+        .agg(
+            F.max_by(
+                F.struct(F.col("name"), F.col("entity_type")),
+                F.struct(F.col("cnt"), F.col("name")),
+            ).alias("pick")
+        )
+        .select(
+            "name_norm",
+            F.col("pick.name").alias("mention_name"),
+            F.col("pick.entity_type").alias("mention_type"),
+        )
+    )
+
+    node_info = (
+        comp.withColumnRenamed("node", "name_norm")
+        .join(F.broadcast(reg), "name_norm", "left")
+        .join(F.broadcast(surface_pick), "name_norm", "left")
+        .select(
+            "name_norm",
+            "component",
+            F.col("canonical_name").isNotNull().alias("is_registry"),
+            F.coalesce("canonical_name", "mention_name", "name_norm").alias("display"),
+            F.coalesce("entity_type", "mention_type", F.lit("unknown")).alias("etype"),
+            F.coalesce("definition", F.lit("")).alias("definition"),
+        )
+    )
+
+    type_rank = F.coalesce(
+        *[
+            F.when(F.col("etype") == t, F.lit(r))
+            for t, r in _TYPE_PRIORITY.items()
+        ],
+        F.lit(9),
+    )
+    best = (
+        node_info.withColumn("type_rank", type_rank)
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("is_registry"),
+                    F.length("display").alias("dlen"),
+                    F.col("display"),
+                    (F.lit(9) - F.col("type_rank")).alias("trank"),
+                    F.col("etype"),
+                    F.col("definition"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "component",
+            F.col("b.display").alias("canonical_name"),
+            F.when(F.col("b.etype") == "unknown", F.lit("concept"))
+            .otherwise(F.col("b.etype"))
+            .alias("entity_type"),
+            F.col("b.definition").alias("definition"),
+        )
+    )
+
+    return (
+        node_info.select("name_norm", "component")
+        .join(F.broadcast(best), "component")
+        .select(
+            "name_norm",
+            F.sha2(
+                F.concat_ws(
+                    "\x1f",
+                    F.lit("entity"),
+                    F.lit(group_id),
+                    F.lower(F.col("canonical_name")),
+                    F.col("entity_type"),
+                ),
+                256,
+            ).alias("entity_uuid"),
+            "canonical_name",
+            "entity_type",
+            "component",
+            F.lit(group_id).alias("group_id"),
+        )
+    )
+
+
+def build_entities(
+    spark: SparkSession,
+    canonical_map: DataFrame,
+    mentions: DataFrame,
+    group_id: str = GROUP_ID,
+) -> DataFrame:
+    """Vertex table: one row per canonical entity that actually appears in
+    the corpus, aliases = other observed surface spellings (sorted set),
+    summary = registry definition when known (deterministic stand-in for the
+    reference's LLM summary merge, entity_registry.py:193-211)."""
+    reg = registry_surfaces_df(spark).select(
+        F.col("canonical_norm").alias("cn"), F.col("definition")
+    ).dropDuplicates(["cn"])
+
+    observed = (
+        mentions.where(F.col("kind") == "entity")
+        .select("name_norm", "name")
+        .join(F.broadcast(canonical_map), "name_norm")
+        .groupBy("entity_uuid", "canonical_name", "entity_type")
+        .agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.array_remove(F.collect_set("name"), "")
+                )
+            ).alias("surfaces")
+        )
+    )
+    return (
+        observed.withColumn("cn", F.lower(F.col("canonical_name")))
+        .join(F.broadcast(reg), "cn", "left")
+        .select(
+            F.col("entity_uuid").alias("uuid"),
+            F.col("canonical_name").alias("name"),
+            F.coalesce("definition", F.lit("")).alias("summary"),
+            "entity_type",
+            F.array_remove(F.col("surfaces"), F.col("canonical_name")).alias("aliases"),
+            F.lit(group_id).alias("group_id"),
+        )
+    )
+
+
+def union_find_components_py(
+    n_nodes: list[str], edge_list: list[tuple[str, str]]
+) -> dict[str, str]:
+    """Single-node oracle for tests: classic union-find over string keys,
+    component id = min member (same contract as connected_components)."""
+    parent: dict[str, str] = {x: x for x in n_nodes}
+    for a, b in edge_list:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict[str, str] = {}
+    for x in parent:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    return {x: comp_min[find(x)] for x in parent}
+
+
+# silence linter for unused import kept for API symmetry
+_ = Iterator
