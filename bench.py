@@ -1,0 +1,103 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = wall seconds of the full KG-construction DAG (fresh run, resume
+checkpoints wiped first so nothing is skipped). queries = per-query seconds
+for the headline operator set. Extra keys: docs, docs_per_sec.
+
+Scaling-efficiency evidence (north rule, N vs 4N): scripts/bench_scaling.py
+runs this same DAG at two parallelism levels in separate JVMs and writes
+BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "?"
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from vanna_financial_knowledge_graph_spark.plans.pipeline import run_pipeline
+    from vanna_financial_knowledge_graph_spark.session import get_spark
+
+    spark = get_spark("vkg-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # --- flagship: full KG DAG, cold (no resume skips) ---------------------
+    work = f"/tmp/vkg_bench/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(work, ignore_errors=True)
+    t0 = time.time()
+    out = run_pipeline(spark, sf_dir, work, repartition=cpus * 2)
+    n_docs = out["docs"].count()
+    n_facts = out["facts"].count()
+    pipeline_sec = time.time() - t0
+    timings["kg_pipeline_full"] = round(pipeline_sec, 3)
+
+    # --- headline operator queries -----------------------------------------
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    headline = [
+        "q1_pricing_summary",
+        "or_join_union_rewrite",
+        "two_hop_group_count",
+        "window_dedup_max",
+        "semi_join_around",
+        "dedup_exact_hash",
+        "minhash_near_dup",
+        "simhash_candidates",
+        "ann_topk_bruteforce",
+        "emb_near_dup",
+        "lang_id",
+        "quality_score",
+        "token_count",
+    ]
+    for name in headline:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    # KG read-path over the just-built graph (warm tables)
+    from vanna_financial_knowledge_graph_spark.operators.readpath import (
+        facts_for_entities,
+        two_hop_neighbors,
+    )
+
+    t0 = time.time()
+    two_hop_neighbors(out["entities"], out["relationships"], "Apple Inc.", 10).count()
+    timings["kg_two_hop"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    facts_for_entities(out["facts"], ["Apple Inc."], "around", 50).count()
+    timings["kg_facts_around"] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "kg_pipeline_full_dag_sec",
+        "value": round(pipeline_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs": n_docs,
+        "facts": n_facts,
+        "docs_per_sec": round(n_docs / pipeline_sec, 2),
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

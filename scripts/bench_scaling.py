@@ -1,0 +1,112 @@
+"""Scaling-efficiency evidence for the north rule (N vs 4N executors).
+
+No real cluster exists in this sandbox, so per driver instruction the same
+job runs at two parallelism levels (local[N] and local[4N]) in separate JVMs
+on identical input; throughput at both plus efficiency goes to BENCH.md.
+
+Efficiency = speedup / core_ratio, where speedup = t_N / t_4N. The DAG is
+run cold (fresh work dir) at each level; the JVM+session startup is excluded
+by timing inside the child.
+
+Usage: python scripts/bench_scaling.py [sf_dir] [N] [runs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+CHILD = r"""
+import json, shutil, sys, time
+sys.path.insert(0, "/root/repo")
+from vanna_financial_knowledge_graph_spark.session import get_spark
+from vanna_financial_knowledge_graph_spark.plans.pipeline import run_pipeline
+cpus, sf_dir, work = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+spark = get_spark("vkg-scale", cpus=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+shutil.rmtree(work, ignore_errors=True)
+t0 = time.time()
+out = run_pipeline(spark, sf_dir, work, repartition=cpus * 2)
+n_docs = out["docs"].count()
+n_facts = out["facts"].count()
+sec = time.time() - t0
+print("CHILD_RESULT " + json.dumps({"cpus": cpus, "sec": sec, "docs": n_docs, "facts": n_facts}))
+"""
+
+
+def run_level(cpus: int, sf_dir: str, tag: str) -> dict:
+    work = f"/tmp/vkg_scale/{tag}_{cpus}"
+    p = subprocess.run(
+        [sys.executable, "-c", CHILD, str(cpus), sf_dir, work],
+        capture_output=True,
+        text=True,
+        timeout=3000,
+        check=False,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{p.stdout[-2000:]}\n{p.stderr[-2000:]}")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    levels = [n, 4 * n]
+    results: dict[int, dict] = {}
+    for cpus in levels:
+        best = None
+        for i in range(runs):
+            r = run_level(cpus, sf_dir, f"r{i}")
+            print(f"  local[{cpus}] run {i}: {r['sec']:.1f}s "
+                  f"({r['docs']/r['sec']:.1f} docs/s)", flush=True)
+            if best is None or r["sec"] < best["sec"]:
+                best = r
+        results[cpus] = best
+
+    tn, t4n = results[n]["sec"], results[4 * n]["sec"]
+    speedup = tn / t4n
+    eff = speedup / 4.0
+    docs = results[n]["docs"]
+    summary = {
+        "sf_dir": sf_dir,
+        "N_cores": n,
+        "4N_cores": 4 * n,
+        "t_N_sec": round(tn, 2),
+        "t_4N_sec": round(t4n, 2),
+        "docs": docs,
+        "docs_per_sec_N": round(docs / tn, 2),
+        "docs_per_sec_4N": round(docs / t4n, 2),
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary))
+
+    md = f"""# BENCH — scaling-efficiency evidence (north rule)
+
+Same full KG-construction DAG on identical input ({sf_dir}, {docs} docs),
+cold run (resume checkpoints wiped), two parallelism levels in separate JVMs
+(best of {runs} runs each; sandbox stand-in for N vs 4N executor clusters per
+driver instruction).
+
+| cores | wall sec | docs/sec |
+|---|---|---|
+| local[{n}] (N) | {tn:.1f} | {docs / tn:.1f} |
+| local[{4 * n}] (4N) | {t4n:.1f} | {docs / t4n:.1f} |
+
+**Speedup N->4N: {speedup:.2f}x  ->  scaling efficiency {eff:.2f}**
+(target >= 0.8; efficiency = speedup / 4)
+
+Regenerate: `python scripts/bench_scaling.py {sf_dir} {n} {runs}`
+"""
+    with open(os.path.join(os.path.dirname(__file__), "..", "BENCH.md"), "w") as f:
+        f.write(md)
+    print("wrote BENCH.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,129 @@
+"""Deduplication operator tests: exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding near-dup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vanna_financial_knowledge_graph_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while markets rallied on "
+    "strong earnings and easing inflation across the technology sector today"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    near = BASE.replace("today", "yesterday")  # ~1 token differs
+    other = (
+        "completely different content about agriculture subsidies and rural "
+        "credit conditions in the midwest farm belt during harvest season"
+    )
+    rows = [
+        (1, BASE),
+        (2, BASE),          # exact dup of 1
+        (3, near),          # near dup of 1
+        (4, other),
+        (5, "  " + BASE + "  "),  # whitespace variant
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(docs):
+    got = D.exact_dup_groups(docs).collect()
+    assert len(got) == 1
+    assert got[0]["doc_ids"] == [1, 2] and got[0]["dup_count"] == 2
+
+
+def test_normalized_fingerprint_catches_ws_variant(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in D.normalized_fingerprint(docs).collect()}
+    assert fp[1] == fp[2] == fp[5]
+    assert fp[1] != fp[4]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_near_dups(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_jaccard_matches_python_oracle(spark, docs):
+    """Exact shingle Jaccard vs a driver-side computation."""
+
+    def shingle_set(t, k=3):
+        toks = t.lower().split()
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    a, b = shingle_set(rows[1]), shingle_set(rows[3])
+    expected = round(len(a & b) / len(a | b), 4)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_near_dups(docs, threshold=0.1).collect()
+    }
+    assert got[(1, 3)] == pytest.approx(expected, abs=1e-4)
+
+
+def test_simhash_identical_and_near(docs):
+    fp = {r["doc_id"]: r["simhash"] for r in D.simhash_fingerprints(docs).collect()}
+    assert fp[1] == fp[2]  # identical text -> identical simhash
+    ham13 = bin((fp[1] ^ fp[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    ham14 = bin((fp[1] ^ fp[4]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham13 < ham14  # near-dup closer than unrelated
+
+
+def test_simhash_near_dups_pairs(docs):
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_near_dups(docs, max_hamming=8).collect()
+    }
+    assert (1, 2) in got
+
+
+def test_embedding_near_dups(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.999, 0.04, 0.0], 0),   # near dup of 1
+            (3, [0.0, 1.0, 0.0], 0),      # orthogonal
+            (4, [1.0, 0.0, 0.0], 1),      # same vector, other block -> not compared
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in D.embedding_near_dups(emb, "label", 0.95).collect()}
+    assert got == {(1, 2)}
+
+
+def test_lsh_bucket_cap_drops_megabuckets(spark):
+    """Boilerplate guard: a bucket above max_bucket contributes no pairs."""
+    docs = spark.createDataFrame(
+        [(i, BASE) for i in range(20)], "doc_id long, text string"
+    )
+    sh = D.shingles(docs)
+    sig = D.minhash_signatures(sh, 8)
+    pairs = D.lsh_candidate_pairs(sig, bands=2, rows_per_band=4, max_bucket=5)
+    assert pairs.count() == 0
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    a = D.minhash_signatures(D.shingles(docs), 16).collect()
+    b = D.minhash_signatures(D.shingles(docs), 16).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_cosine_expr_correct(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<float>, b array<float>"
+    )
+    got = df.select(D.cosine_expr("a", "b").alias("c")).first()["c"]
+    import numpy as np
+
+    a, b = np.array([1, 2, 3.0]), np.array([4, 5, 6.0])
+    exp = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert got == pytest.approx(exp, rel=1e-9)

@@ -1,0 +1,59 @@
+"""Driver-contract test: every queries() entry runs; every oracle_sql()
+entry matches DuckDB exactly (the same comparison the grading driver does),
+at sf0.001 for speed. scripts/check_oracle.py runs the same check at sf0.01."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+from scripts.check_oracle import compare
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+_ORACLES = entry.oracle_sql()
+_QUERIES = entry.queries()
+
+# cheap, no-pipeline queries get the full oracle comparison in pytest
+_ORACLE_CHECKED = sorted(set(_ORACLES) & set(_QUERIES))
+_ROWS_ONLY = sorted(k for k in _QUERIES if k not in _ORACLES and not k.startswith("kg_"))
+
+
+@pytest.mark.parametrize("name", _ORACLE_CHECKED)
+def test_query_matches_oracle(spark, duck, name):
+    spdf = _QUERIES[name](spark, SF_DIR).toPandas()
+    dpdf = duck.execute(_ORACLES[name]).fetchdf()
+    problems = compare(spdf, dpdf)
+    assert not problems, problems
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = _QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0 and df.columns
+
+
+def test_entry_flagship(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
+    assert {"subject_uuid", "relationship_type", "object_uuid"} <= set(df.columns)
+
+
+def test_every_query_has_callable():
+    for name, fn in _QUERIES.items():
+        assert callable(fn), name

@@ -1,0 +1,116 @@
+"""Spark pipeline integration tests at sf0.001: byte identity, chunk
+invariants, golden-triple P/R, linking semantics."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from vanna_financial_knowledge_graph_spark.functions.matching import (
+    Matcher,
+    extract_triples,
+)
+from vanna_financial_knowledge_graph_spark.functions.textops import chunk_text
+from vanna_financial_knowledge_graph_spark.gazetteer import gazetteer_entries
+from vanna_financial_knowledge_graph_spark.operators.extract import (
+    byte_identity_report,
+)
+
+
+def test_byte_identity_zero_mismatches(kg):
+    """The per-row invariant from BASELINE.json input_hint."""
+    assert byte_identity_report(kg["pages"], kg["extracted"]).count() == 0
+
+
+def test_chunk_positions_per_doc(kg):
+    bad = (
+        kg["chunks"]
+        .groupBy("doc_uuid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("position").alias("mn"),
+            F.max("position").alias("mx"),
+        )
+        .where((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_chunk_uuids_unique(kg):
+    n = kg["chunks"].count()
+    assert kg["chunks"].select("chunk_uuid").distinct().count() == n
+
+
+def test_min_chunk_chars(kg):
+    assert kg["chunks"].where(F.length("content") < 50).count() == 0
+
+
+def test_all_facts_have_date_context(kg):
+    assert (
+        kg["facts"]
+        .where(F.col("date_context").isNull() | (F.col("date_context") == ""))
+        .count()
+        == 0
+    )
+
+
+def test_relationship_per_fact(kg):
+    assert kg["relationships"].count() == kg["facts"].count()
+    # provenance chunk present on every edge
+    assert kg["relationships"].where(F.col("chunk_uuid").isNull()).count() == 0
+
+
+def test_facts_endpoint_uuids_resolve(kg):
+    ents = kg["entities"].select(F.col("uuid").alias("subject_uuid"))
+    unresolved = kg["facts"].join(ents, "subject_uuid", "left_anti").count()
+    assert unresolved == 0
+
+
+@pytest.fixture(scope="module")
+def golden_triples(spark, kg):
+    """Single-node oracle: run the same pure functions driver-side over the
+    collected pages (feasible at sf0.001) -> the golden triple set."""
+    pages = kg["pages"].select("url", "text", "warc_ts").collect()
+    matcher = Matcher(gazetteer_entries())
+    golden = set()
+    for r in pages:
+        date = str(r["warc_ts"].date())
+        for ch in chunk_text(r["text"]):
+            ms = matcher.find(ch["content"])
+            for f in extract_triples("c", ch["content"], date, ms):
+                golden.add(
+                    (r["url"], f["subject_norm"], f["relationship_type"], f["object_norm"])
+                )
+    return golden
+
+
+def test_triple_precision_recall_vs_oracle(kg, golden_triples):
+    """North-rule gate: P/R >= 0.95 vs the single-node golden set (should be
+    exactly 1.0 since the Spark DAG runs the same pure functions)."""
+    spark_triples = {
+        (r["url"], r["subject_norm"], r["relationship_type"], r["object_norm"])
+        for r in kg["facts_raw"]
+        .join(kg["chunks"].select("chunk_uuid", "url"), "chunk_uuid")
+        .select("url", "subject_norm", "relationship_type", "object_norm")
+        .collect()
+    }
+    tp = len(spark_triples & golden_triples)
+    precision = tp / max(len(spark_triples), 1)
+    recall = tp / max(len(golden_triples), 1)
+    assert precision >= 0.95, f"precision {precision}"
+    assert recall >= 0.95, f"recall {recall}"
+    # determinism bonus: the rule engine should agree exactly
+    assert precision == 1.0 and recall == 1.0
+
+
+def test_hot_entity_skew_present(kg):
+    """The synthetic corpus must actually exercise the skew path: AAPL in a
+    large fraction of documents (FIXTURES.md §9 skew set)."""
+    apple_docs = (
+        kg["mentions"]
+        .where(F.col("name_norm") == "apple inc.")
+        .select("doc_uuid")
+        .distinct()
+        .count()
+    )
+    total_docs = kg["docs"].count()
+    assert apple_docs / total_docs > 0.25

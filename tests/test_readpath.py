@@ -1,0 +1,140 @@
+"""Read-path operator tests over a small hand-built graph (the reference's
+DuckDB query-layer semantics, queries.py:328-669)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from vanna_financial_knowledge_graph_spark.operators import readpath as R
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    entities = spark.createDataFrame(
+        [
+            ("e1", "Apple Inc.", "maker", "company", "default"),
+            ("e2", "Tim Cook", "ceo", "person", "default"),
+            ("e3", "Microsoft", "rival", "company", "default"),
+            ("e4", "Orphan", "none", "company", "default"),
+        ],
+        "uuid string, name string, summary string, entity_type string, group_id string",
+    )
+    topics = spark.createDataFrame(
+        [("t1", "Inflation", "def", "uri", "default")],
+        "uuid string, name string, definition string, uri string, group_id string",
+    )
+    rels = spark.createDataFrame(
+        [
+            ("r1", "e1", "entity", "e2", "entity", "LED_BY", "c1", "f1", "d", "2024", "default"),
+            ("r2", "e1", "entity", "e3", "entity", "COMPETES", "c2", "f2", "d", "2024", "default"),
+            ("r3", "e1", "entity", "e3", "entity", "SUED", "c3", "f3", "d", "2024", "default"),
+            ("r4", "e3", "entity", "e1", "entity", "COMPETES", "c3", "f4", "d", "2024", "default"),
+            ("r5", "e2", "entity", "t1", "topic", "DISCUSSED", "c4", "f5", "d", "2024", "default"),
+        ],
+        "id string, from_uuid string, from_type string, to_uuid string, to_type string,"
+        " rel_type string, chunk_uuid string, fact_id string, description string,"
+        " date_context string, group_id string",
+    )
+    chunks = spark.createDataFrame(
+        [
+            (f"c{i}", f"content {i}", "H", "2024-01-0%d" % i, f"u{i}", "default")
+            for i in range(1, 5)
+        ],
+        "chunk_uuid string, content string, header_path string, document_date string,"
+        " url string, group_id string",
+    )
+    return entities, topics, rels, chunks
+
+
+def test_one_hop_union_rewrite(spark, graph):
+    """J2: chunks where entity is source OR target — union of equi-joins."""
+    entities, _, rels, chunks = graph
+    got = {
+        r["chunk_uuid"]
+        for r in R.entity_one_hop_chunks(entities, rels, chunks, "apple inc.").collect()
+    }
+    # e1 appears in r1(c1), r2(c2), r3(c3) as from; r4(c3) as to
+    assert got == {"c1", "c2", "c3"}
+
+
+def test_two_hop_neighbor_counts(spark, graph):
+    entities, _, rels, _ = graph
+    rows = R.two_hop_neighbors(entities, rels, "Apple Inc.", 10).collect()
+    by_name = {r["neighbor_name"]: r["connection_count"] for r in rows}
+    assert by_name == {"Microsoft": 2, "Tim Cook": 1}
+    # ranked by count desc
+    assert rows[0]["neighbor_name"] == "Microsoft"
+
+
+def test_topic_one_hop(spark, graph):
+    _, topics, rels, chunks = graph
+    got = R.topic_one_hop_chunks(topics, rels, chunks, "inflation").collect()
+    assert [r["chunk_uuid"] for r in got] == ["c4"]
+
+
+def test_facts_around_and_between(spark, kg):
+    facts = kg["facts"]
+    around = R.facts_for_entities(facts, ["Apple Inc."], "around", 20)
+    assert around.count() == 20
+    names = {"apple inc."}
+    for r in around.collect():
+        assert (
+            r["subject_name"].lower() in names or r["object_name"].lower() in names
+        )
+    between = R.facts_for_entities(
+        facts, ["Apple Inc.", "Securities and Exchange Commission"], "between", 20
+    )
+    for r in between.collect():
+        assert r["subject_name"].lower() in {
+            "apple inc.",
+            "securities and exchange commission",
+        } and r["object_name"].lower() in {
+            "apple inc.",
+            "securities and exchange commission",
+        }
+
+
+def test_kg_stats(spark, graph):
+    entities, topics, rels, chunks = graph
+    rows = {
+        r["table_name"]: r["row_count"]
+        for r in R.kg_stats(
+            {"entities": entities, "topics": topics, "relationships": rels}
+        ).collect()
+    }
+    assert rows == {"entities": 4, "topics": 1, "relationships": 5}
+
+
+def test_paginate(spark):
+    df = spark.range(100).select(F.col("id"))
+    got = [r["id"] for r in R.paginate(df, "id", limit=10, offset=25).collect()]
+    assert got == list(range(25, 35))
+
+
+def test_dedup_max_score(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 0.5), ("a", 2, 0.9), ("b", 3, 0.1)],
+        "k string, v int, score double",
+    )
+    got = {(r["k"], r["v"]) for r in R.dedup_max_score(df, "k", "score").collect()}
+    assert got == {("a", 2), ("b", 3)}
+
+
+def test_topk_per_query(spark):
+    df = spark.createDataFrame(
+        [("q1", i, float(i)) for i in range(10)] + [("q2", 1, 1.0)],
+        "query_id string, vec_id int, score double",
+    )
+    got = R.topk_per_query(df, "query_id", "score", 3)
+    assert got.where(F.col("query_id") == "q1").count() == 3
+    assert got.where(F.col("query_id") == "q2").count() == 1
+
+
+def test_relevance_split_and_caps(spark):
+    df = spark.createDataFrame(
+        [("x", float(i)) for i in range(10)], "cat string, score double"
+    )
+    split = R.relevance_split(df, "score", threshold=5.0)
+    assert split.where("relevance = 'high'").count() == 5
+    capped = R.context_caps(split, "relevance", "score", {"high": 2, "low": 3})
+    assert capped.where("relevance = 'high'").count() == 2
+    assert capped.where("relevance = 'low'").count() == 3

@@ -1,0 +1,81 @@
+"""Similarity-search tests: brute-force exact top-k vs a NumPy oracle, and
+the LSH-bucketed approximate variant."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vanna_financial_knowledge_graph_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(80, 16).astype("float32")
+    rows = [(i, vecs[i].tolist(), int(i % 4)) for i in range(80)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"),
+        vecs,
+    )
+
+
+def test_brute_force_matches_numpy(emb):
+    df, vecs = emb
+    queries = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = S.brute_force_topk(df, queries, k=5).collect()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for qid in (0, 1):
+        order = [i for i in np.argsort(-sims[qid]) if i != qid][:5]
+        got_q = sorted(
+            [r for r in got if r["query_id"] == qid], key=lambda r: r["rank"]
+        )
+        assert [r["vec_id"] for r in got_q] == order
+        for r in got_q:
+            assert r["cosine"] == pytest.approx(
+                round(float(sims[qid][r["vec_id"]]), 4), abs=2e-4
+            )
+
+
+def test_threshold_filter(emb):
+    df, _ = emb
+    queries = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = S.brute_force_topk(df, queries, k=80, threshold=0.5)
+    assert got.where(F.col("cosine") < 0.5).count() == 0
+
+
+def test_lsh_topk_subset_of_exact_scores(emb):
+    """Approximate results score exactly like brute force for the same pair
+    (the bucket only prunes candidates, never changes scores)."""
+    df, vecs = emb
+    queries = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    approx = S.lsh_topk(df, queries, k=5, dim=16, n_planes=3).collect()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    assert approx  # some candidates share a bucket with 3 planes
+    for r in approx:
+        assert r["cosine"] == pytest.approx(
+            round(float(sims[r["query_id"]][r["vec_id"]]), 4), abs=2e-4
+        )
+
+
+def test_lsh_bucket_deterministic(emb):
+    df, _ = emb
+    a = {r["vec_id"]: r["bucket"] for r in S.lsh_bucketize(df, 16, 6).collect()}
+    b = {r["vec_id"]: r["bucket"] for r in S.lsh_bucketize(df, 16, 6).collect()}
+    assert a == b
+
+
+def test_self_excluded(emb):
+    df, _ = emb
+    queries = df.where(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = S.brute_force_topk(df, queries, k=80)
+    assert got.where(F.col("vec_id") == 3).count() == 0

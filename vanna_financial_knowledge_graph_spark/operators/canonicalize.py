@@ -153,9 +153,27 @@ def connected_components(
             .groupBy("node", "salt")
             .agg(F.min("label").alias("label"))
         )
-        new_labels = (
-            partial.groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
+        stepped = partial.groupBy("node").agg(F.min("label").alias("label"))
+        # pointer jumping (label <- label's label): halves the remaining
+        # diameter each round, so convergence is O(log diameter) instead of
+        # O(diameter) — essential for long alias chains / mega-components.
+        jumped = (
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("node").alias("lnode"), F.col("label").alias("llabel")
+                ).alias("b"),
+                F.col("a.label") == F.col("b.lnode"),
+                "left",
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(
+                    F.col("a.label"), F.coalesce(F.col("b.llabel"), F.col("a.label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
 
         changed = (
             new_labels.alias("n")

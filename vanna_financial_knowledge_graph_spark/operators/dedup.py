@@ -1,0 +1,282 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+All hot paths stay JVM-side: exact dedup is a hash groupBy; MinHash
+signatures are computed with higher-order functions (transform/aggregate
+over xxhash64) — no Python in the loop; LSH candidate generation is a
+band-bucket self-join (shuffle keyed on (band, band_hash), never an O(n²)
+cross join); verification jaccard uses array_intersect/array_union.
+SimHash uses one Arrow-vectorized pandas UDF (bit-parallel in NumPy).
+
+Scale notes (100 TB): the only shuffles are groupBy(hash) for exact dedup
+and the band-bucket exchange for LSH; both are uniformly keyed by
+construction (hash keys), so no skew handling is needed. Candidate pairs per
+bucket are bounded by bucket size; pathological buckets (boilerplate) should
+be capped with a per-bucket limit before pairing — exposed as `max_bucket`.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact duplicates: (text_hash, dup_count, doc_ids)."""
+    return (
+        documents.select(
+            F.col("doc_id"), F.md5(F.col(text_col)).alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def normalized_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace/case-insensitive content fingerprint per doc."""
+    normed = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return documents.select(
+        "doc_id", F.md5(normed).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (shingle -> minhash -> band -> bucket-join)
+# ---------------------------------------------------------------------------
+
+
+def _tokens(text_col: str):
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def shingles(documents: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """k-word shingles as a distinct array per doc (JVM-side)."""
+    toks = _tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return documents.select(
+        "doc_id", F.array_distinct(sh).alias("shingles")
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """num_hashes-wide MinHash signature via xxhash64(shingle, seed):
+    signature[i] = min over shingles of xxhash64(s, i). Pure SQL."""
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.select("doc_id", sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Band the signature, bucket-join within (band, band_hash).
+
+    Emits candidate (doc_a, doc_b) pairs with doc_a < doc_b. Buckets larger
+    than max_bucket are dropped (boilerplate guard — logged upstream)."""
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("signature"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    sized = banded.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash"))
+    ).where(F.col("bucket_n") <= max_bucket)
+    a = sized.select("band", "band_hash", F.col("doc_id").alias("doc_a"))
+    b = sized.select("band", "band_hash", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (array set ops, JVM-side)."""
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_near_dups(
+    documents: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band -> verify."""
+    sh = shingles(documents, text_col, k)
+    sig = minhash_signatures(sh, num_hashes)
+    pairs = lsh_candidate_pairs(sig, bands, num_hashes // bands)
+    return jaccard_verify(pairs, sh, threshold).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit, Arrow-vectorized)
+# ---------------------------------------------------------------------------
+
+
+from pyspark.sql.types import LongType
+
+
+@pandas_udf(LongType())
+def _simhash64(texts: pd.Series) -> pd.Series:
+    import numpy as np
+
+    def one(t: str) -> int:
+        toks = (t or "").lower().split()
+        if not toks:
+            return 0
+        hs = np.array(
+            [hash_token(tok) for tok in toks], dtype=np.uint64
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        v = np.where(bits.sum(axis=0) * 2 >= len(hs), 1, 0).astype(np.uint64)
+        out = np.uint64(0)
+        for i in range(64):
+            out |= np.uint64(v[i]) << np.uint64(i)
+        return int(out.astype(np.int64))
+
+    def hash_token(tok: str) -> int:
+        # FNV-1a 64-bit: stable across processes (unlike Python's hash())
+        h = 0xCBF29CE484222325
+        for ch in tok.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    return texts.map(one)
+
+
+def simhash_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc + 16-bit prefix bucckets for candidate probing."""
+    return documents.select(
+        "doc_id",
+        _simhash64(F.col(text_col)).alias("simhash"),
+    ).withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 48))
+
+
+def simhash_near_dups(documents: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Same-bucket SimHash pairs within a Hamming radius."""
+    fp = simhash_fingerprints(documents, text_col)
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"), "bucket")
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine >= threshold within blocking key)
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(b), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicates within a blocking key (never a global cross
+    join — the block column bounds pair counts; at scale the block is an
+    LSH bucket from similarity.lsh_bucketize)."""
+    a = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("emb_a", "emb_b"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )

@@ -1,0 +1,212 @@
+"""Read-path query catalog over the materialized graph tables.
+
+Spark SQL re-expression of the reference's DuckDB query layer
+(vanna_kg/storage/duckdb/queries.py) and MCP command layer — the operators a
+user of the reference runs today:
+
+  * J2  entity 1-hop chunks (queries.py:460-502): the reference's OR-join
+        `ON (r.from_uuid = e.uuid OR r.to_uuid = e.uuid)` would make Catalyst
+        pick a BroadcastNestedLoopJoin; rewritten as a UNION of two
+        equi-joins + dropDuplicates (SURVEY.md §2.3 J2).
+  * J3  2-hop neighbor counts (queries.py:504-547).
+  * J4  topic 1-hop chunks (queries.py:549-592).
+  * J5/J6 around/between fact search (queries.py:328-435) incl. the
+        date-ordered top-N (W1).
+  * A1  per-table stats (queries.py:639-669).
+  * W2  pagination, W4 vector-style top-k, A8 max-score dedup,
+        W5/W6 context caps + relevance split (query/context_builder.py).
+
+Every function takes DataFrames and returns a DataFrame; group_id filtering
+(P1) is a partition-prunable predicate pushed to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def entity_one_hop_chunks(
+    entities: DataFrame,
+    relationships: DataFrame,
+    chunks: DataFrame,
+    entity_name: str,
+    group_id: str = "default",
+) -> DataFrame:
+    """Chunks mentioning an entity via graph edges (J2 union rewrite)."""
+    e = entities.where(
+        (F.lower(F.col("name")) == entity_name.lower())
+        & (F.col("group_id") == group_id)
+    ).select(F.col("uuid").alias("euuid"))
+    r = relationships.where(F.col("group_id") == group_id)
+    hits_from = r.join(F.broadcast(e), r["from_uuid"] == F.col("euuid")).select(
+        "chunk_uuid"
+    )
+    hits_to = r.join(F.broadcast(e), r["to_uuid"] == F.col("euuid")).select(
+        "chunk_uuid"
+    )
+    hit_chunks = hits_from.union(hits_to).distinct()
+    return (
+        chunks.where(F.col("group_id") == group_id)
+        .join(hit_chunks, "chunk_uuid")
+        .select("chunk_uuid", "content", "header_path", "document_date", "url")
+        .dropDuplicates(["chunk_uuid"])
+    )
+
+
+def two_hop_neighbors(
+    entities: DataFrame,
+    relationships: DataFrame,
+    entity_name: str,
+    top_k: int = 10,
+    group_id: str = "default",
+) -> DataFrame:
+    """Neighbor entities ranked by connection count (J3 + A2 + W3)."""
+    e = entities.where(
+        (F.lower(F.col("name")) == entity_name.lower())
+        & (F.col("group_id") == group_id)
+    ).select(F.col("uuid").alias("euuid"))
+    r = relationships.where(
+        (F.col("group_id") == group_id) & (F.col("to_type") == "entity")
+    )
+    neigh = (
+        r.join(F.broadcast(e), r["from_uuid"] == F.col("euuid"))
+        .where(F.col("to_uuid") != F.col("euuid"))
+        .join(
+            entities.select(
+                F.col("uuid").alias("to_uuid"),
+                F.col("name").alias("neighbor_name"),
+                F.col("summary").alias("neighbor_summary"),
+                F.col("entity_type").alias("neighbor_type"),
+            ),
+            "to_uuid",
+        )
+        .groupBy("neighbor_name", "neighbor_summary", "neighbor_type")
+        .agg(F.count(F.lit(1)).alias("connection_count"))
+        .orderBy(F.desc("connection_count"), "neighbor_name")
+        .limit(top_k)
+    )
+    return neigh
+
+
+def facts_for_entities(
+    facts: DataFrame,
+    entity_names: list[str],
+    mode: str = "around",
+    limit: int = 50,
+    group_id: str = "default",
+) -> DataFrame:
+    """Wide-net fact lookup (J5/J6): mode 'around' = subject OR object in the
+    name set; 'between' = both endpoints in the set. Date-ordered top-N
+    (ORDER BY date_context DESC NULLS LAST LIMIT, queries.py:356-358)."""
+    names = [n.lower() for n in entity_names]
+    f = facts.where(F.col("group_id") == group_id)
+    subj_in = F.lower(F.col("subject_name")).isin(names)
+    obj_in = F.lower(F.col("object_name")).isin(names)
+    cond = (subj_in | obj_in) if mode == "around" else (subj_in & obj_in)
+    return (
+        f.where(cond)
+        .orderBy(F.desc_nulls_last("date_context"), "uuid")
+        .limit(limit)
+    )
+
+
+def topic_one_hop_chunks(
+    topics: DataFrame,
+    relationships: DataFrame,
+    chunks: DataFrame,
+    topic_name: str,
+    group_id: str = "default",
+) -> DataFrame:
+    """Chunks attached to a topic (J4)."""
+    t = topics.where(
+        (F.lower(F.col("name")) == topic_name.lower())
+        & (F.col("group_id") == group_id)
+    ).select(F.col("uuid").alias("tuuid"))
+    r = relationships.where(
+        (F.col("group_id") == group_id) & (F.col("to_type") == "topic")
+    )
+    hit = r.join(F.broadcast(t), r["to_uuid"] == F.col("tuuid")).select("chunk_uuid")
+    return (
+        chunks.where(F.col("group_id") == group_id)
+        .join(hit.distinct(), "chunk_uuid")
+        .select("chunk_uuid", "content", "header_path", "document_date")
+        .dropDuplicates(["chunk_uuid"])
+    )
+
+
+def kg_stats(tables: dict[str, DataFrame], group_id: str = "default") -> DataFrame:
+    """Per-table row counts (A1, queries.py:639-669)."""
+    parts = []
+    for name, df in tables.items():
+        filtered = (
+            df.where(F.col("group_id") == group_id) if "group_id" in df.columns else df
+        )
+        parts.append(
+            filtered.groupBy().agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(name).alias("table_name"), F.col("n").alias("row_count")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def paginate(df: DataFrame, order_col: str, limit: int, offset: int) -> DataFrame:
+    """ORDER BY ... LIMIT ? OFFSET ? (W2) via a row_number window."""
+    w = Window.orderBy(F.col(order_col), *[c for c in df.columns if c != order_col])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+        .drop("_rn")
+    )
+
+
+def dedup_max_score(df: DataFrame, key: str, score: str) -> DataFrame:
+    """Keep the max-score row per key (A8, context_builder.py:114-146)."""
+    w = Window.partitionBy(key).orderBy(F.desc(score), *df.columns)
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def topk_per_query(
+    scored: DataFrame, query_col: str, score_col: str, k: int
+) -> DataFrame:
+    """Vector-search style per-query top-k (W4) via a rank window."""
+    w = Window.partitionBy(query_col).orderBy(F.desc(score_col))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def relevance_split(df: DataFrame, score_col: str, threshold: float = 0.45) -> DataFrame:
+    """high/low relevance partition (W6, context_builder.py:148-169)."""
+    return df.withColumn(
+        "relevance",
+        F.when(F.col(score_col) >= threshold, F.lit("high")).otherwise(F.lit("low")),
+    )
+
+
+def context_caps(
+    df: DataFrame,
+    category_col: str,
+    score_col: str,
+    caps: dict[str, int],
+) -> DataFrame:
+    """Per-category score-sorted caps (W5, context_builder.py:86-112;
+    defaults max_high=30 max_facts=40 max_topic=15 max_low=20)."""
+    w = Window.partitionBy(category_col).orderBy(F.desc(score_col))
+    cap_expr = F.coalesce(
+        *[
+            F.when(F.col(category_col) == c, F.lit(n))
+            for c, n in caps.items()
+        ],
+        F.lit(0),
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap_expr)
+        .drop("_rk")
+    )
