@@ -13,16 +13,18 @@ from vanna_financial_knowledge_graph_spark.operators.canonicalize import (
 )
 
 
-def _cc_spark(spark, nodes, edges):
+def _cc_spark(spark, nodes, edges, distributed=True):
     ndf = spark.createDataFrame([(n,) for n in nodes], "node string")
     edf = (
         spark.createDataFrame(edges, "src string, dst string")
         if edges
         else spark.createDataFrame([], "src string, dst string")
     )
+    # small_threshold=0 forces the distributed salted label-propagation path
+    thresh = 0 if distributed else 1_000_000
     return {
         r["node"]: r["component"]
-        for r in connected_components(ndf, edf).collect()
+        for r in connected_components(ndf, edf, small_threshold=thresh).collect()
     }
 
 
@@ -64,6 +66,17 @@ def test_cc_isolated_nodes(spark):
     assert got == {"a": "a", "b": "b", "c": "c"}
 
 
+def test_cc_small_and_distributed_paths_agree(spark):
+    """The size-adaptive fast path must be indistinguishable from the
+    distributed label-propagation path."""
+    rng = random.Random(7)
+    nodes = [f"m{i:03d}" for i in range(80)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)]
+    assert _cc_spark(spark, nodes, edges, distributed=True) == _cc_spark(
+        spark, nodes, edges, distributed=False
+    )
+
+
 # --- canonical-map merge rules (reference dedup traps) -----------------------
 
 
@@ -99,6 +112,36 @@ def test_entities_aliases_collected(kg):
     apple = kg["entities"].where(F.col("name") == "Apple Inc.").collect()
     assert len(apple) == 1
     assert "AAPL" in apple[0]["aliases"] or "Apple" in apple[0]["aliases"]
+
+
+def test_sql_strip_agrees_with_python(spark):
+    """strip_suffix_expr (JVM) must agree with textops.strip_corp_suffix
+    (Python oracle) on every gazetteer surface plus adversarial strings."""
+    import pyspark.sql.functions as F
+
+    from vanna_financial_knowledge_graph_spark.functions.textops import (
+        norm_name,
+        strip_corp_suffix,
+    )
+    from vanna_financial_knowledge_graph_spark.gazetteer import gazetteer_entries
+    from vanna_financial_knowledge_graph_spark.operators.canonicalize import (
+        strip_suffix_expr,
+    )
+
+    samples = [e[0] for e in gazetteer_entries()] + [
+        norm_name(x)
+        for x in [
+            "Acme Co Inc.", "Solo", "inc", "x s.a.", "big holdings group",
+            "co co co co", "trailing space co ", "Group Therapy Group",
+        ]
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: r["out"]
+        for r in df.select("s", strip_suffix_expr(F.col("s")).alias("out")).collect()
+    }
+    for s in samples:
+        assert got[s] == strip_corp_suffix(s), s
 
 
 def test_entity_uuid_deterministic(kg):

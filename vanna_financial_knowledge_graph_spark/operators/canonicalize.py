@@ -73,27 +73,42 @@ def registry_surfaces_df(spark: SparkSession) -> DataFrame:
     )
 
 
+_SUFFIX_RE = (
+    r"\s+(inc\.?|corp\.?|corporation|co\.?|company|ltd\.?|plc|llc|lp|sa|s\.a\.|"
+    r"ag|nv|group|holdings|incorporated|limited)$"
+)
+
+
+def strip_suffix_expr(col):
+    """Corporate-suffix strip as a native SQL expression (JVM-side, no
+    Python workers): same semantics as functions.textops.strip_corp_suffix
+    (agreement covered by tests/test_canonicalize.py). Three nested passes
+    handle stacked suffixes ("x co inc."); the \\s+ anchor guarantees at
+    least one leading token survives."""
+    e = col
+    for _ in range(3):
+        e = F.regexp_replace(e, _SUFFIX_RE, "")
+    return e
+
+
 def _strip_suffix_col(df: DataFrame, src: str, dst: str) -> DataFrame:
-    """Corporate-suffix strip as an Arrow-batched UDF column."""
-    from pyspark.sql.functions import pandas_udf
-
-    from ..functions.textops import strip_corp_suffix
-
-    @pandas_udf("string")
-    def _strip(s: pd.Series) -> pd.Series:
-        return s.map(lambda x: strip_corp_suffix(x) if x else x)
-
-    return df.withColumn(dst, _strip(F.col(src)))
+    return df.withColumn(dst, strip_suffix_expr(F.col(src)))
 
 
 def build_entity_nodes_edges(
     spark: SparkSession, mentions: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
     """Distinct entity surface forms -> (nodes, undirected edges)."""
+    # one scan of the (large) mentions table; the distinct surface set is
+    # tiny, so checkpoint it eagerly — every downstream branch (strip UDF,
+    # unions, CC, collect) reuses the materialized rows instead of
+    # re-scanning mentions
     surfaces = (
         mentions.where(F.col("kind") == "entity")
         .select("name_norm")
         .distinct()
+        .coalesce(8)  # distinct-surface set is tiny; don't drag 64 partitions
+        .localCheckpoint(eager=True)
     )
     reg = registry_surfaces_df(spark)
     reg_nodes = reg.select("name_norm").union(
@@ -108,28 +123,54 @@ def build_entity_nodes_edges(
     alias_edges = reg.where(F.col("name_norm") != F.col("canonical_norm")).select(
         F.col("name_norm").alias("src"), F.col("canonical_norm").alias("dst")
     )
-    edges = strip_edges.union(alias_edges).distinct()
+    edges = (
+        strip_edges.union(alias_edges).distinct().coalesce(8).localCheckpoint(eager=True)
+    )
     nodes = (
         surfaces.union(reg_nodes)
         .union(edges.select(F.col("dst").alias("name_norm")))
         .union(edges.select(F.col("src").alias("name_norm")))
         .distinct()
         .withColumnRenamed("name_norm", "node")
+        .coalesce(8)
+        .localCheckpoint(eager=True)
     )
     return nodes, edges
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 25,
+    small_threshold: int = 200_000,
 ) -> DataFrame:
-    """Min-label propagation to fixpoint -> (node, component).
+    """Connected components -> (node, component), component = min member.
 
-    Each iteration: every node takes the min of its own label and its
-    neighbors' labels. The min-aggregation is done in two phases keyed by
-    (node, salt(label)) then (node): with AQE skew-join splitting this keeps
-    a mega-component's label traffic spread across reducers. localCheckpoint
-    truncates lineage so the plan doesn't grow with iterations.
+    Size-adaptive physical strategy (same logical result either way):
+
+    * node count <= small_threshold: the graph of *distinct surface forms*
+      is orders of magnitude smaller than the mention/fact tables (a few
+      hundred thousand strings even for web-scale corpora), so a driver-side
+      union-find is both exact and faster than any shuffle — the same
+      rationale as Spark broadcasting a small join side. The threshold keeps
+      driver memory bounded (~tens of MB of strings).
+
+    * otherwise: **iterative hash-join min-label propagation** — each
+      iteration every node takes the min of its own and its neighbors'
+      labels, the min-aggregation runs in two *salted* phases keyed by
+      (node, salt(label)) then (node) so a hot label (AAPL/SEC
+      mega-component) never lands on one reducer, pointer jumping
+      (label <- label-of-label) gives O(log diameter) convergence, and
+      localCheckpoint per iteration truncates lineage.
     """
+    if small_threshold and nodes.count() <= small_threshold:
+        node_list = [r["node"] for r in nodes.collect()]
+        edge_list = [(r["src"], r["dst"]) for r in edges.collect()]
+        comp = union_find_components_py(node_list, edge_list)
+        return nodes.sparkSession.createDataFrame(
+            [(n, comp[n]) for n in node_list], "node string, component string"
+        )
+
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

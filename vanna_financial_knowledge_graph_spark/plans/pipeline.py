@@ -161,11 +161,9 @@ class PipelineRun:
         spark, gid = self.spark, self.group_id
 
         def _pages():
-            df = synthesize_pages(spark, self.sf_dir)
-            if self.repartition:
-                # explicit repartition by url hash: uniform ingest fan-out
-                df = df.repartition(self.repartition, F.col("url"))
-            return df
+            # explicit repartition by doc/url hash: uniform ingest fan-out,
+            # applied to the UDF *input* so synthesis itself parallelizes
+            return synthesize_pages(spark, self.sf_dir, self.repartition)
 
         pages = self._run_stage("pages", [], _pages, params=str(self.repartition))
         extracted = self._run_stage(
@@ -181,18 +179,19 @@ class PipelineRun:
         facts_raw = self._run_stage(
             "facts_raw", ["chunks"], lambda: extract_facts_raw(spark, chunks, gid)
         )
+        # dimension-sized outputs: coalesce so we don't write 64 tiny files
         canonical_map = self._run_stage(
             "canonical_map",
             ["mentions"],
-            lambda: build_canonical_map(spark, mentions, gid),
+            lambda: build_canonical_map(spark, mentions, gid).coalesce(8),
         )
         entities = self._run_stage(
             "entities",
             ["canonical_map", "mentions"],
-            lambda: build_entities(spark, canonical_map, mentions, gid),
+            lambda: build_entities(spark, canonical_map, mentions, gid).coalesce(4),
         )
         topics = self._run_stage(
-            "topics", ["mentions"], lambda: build_topics(spark, mentions, gid)
+            "topics", ["mentions"], lambda: build_topics(spark, mentions, gid).coalesce(1)
         )
         facts = self._run_stage(
             "facts",

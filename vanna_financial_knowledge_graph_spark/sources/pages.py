@@ -163,11 +163,18 @@ def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
-def synthesize_pages(spark, sf_dir: str):
-    """documents.parquet -> pages DataFrame (distributed, deterministic)."""
+def synthesize_pages(spark, sf_dir: str, repartition: int | None = None):
+    """documents.parquet -> pages DataFrame (distributed, deterministic).
+
+    Repartition happens on the *input* (before the generation UDF) so the
+    CPU-heavy HTML synthesis parallelizes even when the source is one file;
+    per-doc seeding keeps output identical at any partitioning.
+    """
     from ..schemas import PAGES
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
+    if repartition:
+        docs = docs.repartition(repartition, "doc_id")
     return docs.mapInPandas(_gen, schema=PAGES)
