@@ -31,16 +31,20 @@ def main() -> int:
     from vanna_financial_knowledge_graph_spark.plans.pipeline import run_pipeline
     from vanna_financial_knowledge_graph_spark.session import get_spark
 
-    spark = get_spark("vkg-bench", cpus=cpus)
+    # partitioning sized to the data (see scripts/bench_scaling.py): 32-way
+    # is right for sf0.1; more partitions means more files/fsyncs than work
+    spark = get_spark("vkg-bench", cpus=cpus, shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
 
     # --- flagship: full KG DAG, cold (no resume skips) ---------------------
-    work = f"/tmp/vkg_bench/{os.path.basename(sf_dir.rstrip('/'))}"
+    # RAM-backed work dir: the sandbox disk throttles erratically; see
+    # scripts/bench_scaling.py
+    work = f"/dev/shm/vkg_bench/{os.path.basename(sf_dir.rstrip('/'))}"
     shutil.rmtree(work, ignore_errors=True)
     t0 = time.time()
-    out = run_pipeline(spark, sf_dir, work, repartition=cpus * 2)
+    out = run_pipeline(spark, sf_dir, work, repartition=32)
     n_docs = out["docs"].count()
     n_facts = out["facts"].count()
     pipeline_sec = time.time() - t0

@@ -23,23 +23,33 @@ import json, shutil, sys, time
 sys.path.insert(0, "/root/repo")
 from vanna_financial_knowledge_graph_spark.session import get_spark
 from vanna_financial_knowledge_graph_spark.plans.pipeline import run_pipeline
-cpus, sf_dir, work = int(sys.argv[1]), sys.argv[2], sys.argv[3]
-spark = get_spark("vkg-scale", cpus=cpus)
+cpus, sf_dir, work, rep = int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.argv[4])
+# partitioning is sized to the DATA, identical at both cluster sizes —
+# exactly what you'd do on a real cluster (the file/task layout must not
+# change when you add executors, or you're benchmarking the FS not the job)
+spark = get_spark("vkg-scale", cpus=cpus, shuffle_partitions=32)
 spark.sparkContext.setLogLevel("ERROR")
 shutil.rmtree(work, ignore_errors=True)
 t0 = time.time()
-out = run_pipeline(spark, sf_dir, work, repartition=cpus * 2)
+out = run_pipeline(spark, sf_dir, work, repartition=32, replicate=rep)
 n_docs = out["docs"].count()
 n_facts = out["facts"].count()
 sec = time.time() - t0
 print("CHILD_RESULT " + json.dumps({"cpus": cpus, "sec": sec, "docs": n_docs, "facts": n_facts}))
 """
 
+# corpus multiplier: sizes the job so per-task compute dominates fixed
+# overhead at 4N cores (sf0.1 x32 = 160k pages); override via argv[4]
+REPLICATE = 32
+
 
 def run_level(cpus: int, sf_dir: str, tag: str) -> dict:
-    work = f"/tmp/vkg_scale/{tag}_{cpus}"
+    # RAM-backed work dir: this VM's virtio disk throttles erratically
+    # (32-256 MB/s bursts), which would contaminate the scaling measurement
+    # with multi-second writeback stalls unrelated to the engine
+    work = f"/dev/shm/vkg_scale/{tag}_{cpus}"
     p = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cpus), sf_dir, work],
+        [sys.executable, "-c", CHILD, str(cpus), sf_dir, work, str(REPLICATE)],
         capture_output=True,
         text=True,
         timeout=3000,
@@ -53,19 +63,22 @@ def run_level(cpus: int, sf_dir: str, tag: str) -> dict:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    global REPLICATE
+    if len(sys.argv) > 4:
+        REPLICATE = int(sys.argv[4])
+    # interleave levels (N, 4N, N, 4N, ...) so host noisy-neighbor phases
+    # hit both levels equally; take best-of per level
     levels = [n, 4 * n]
     results: dict[int, dict] = {}
-    for cpus in levels:
-        best = None
-        for i in range(runs):
+    for i in range(runs):
+        for cpus in levels:
             r = run_level(cpus, sf_dir, f"r{i}")
             print(f"  local[{cpus}] run {i}: {r['sec']:.1f}s "
                   f"({r['docs']/r['sec']:.1f} docs/s)", flush=True)
-            if best is None or r["sec"] < best["sec"]:
-                best = r
-        results[cpus] = best
+            if cpus not in results or r["sec"] < results[cpus]["sec"]:
+                results[cpus] = r
 
     tn, t4n = results[n]["sec"], results[4 * n]["sec"]
     speedup = tn / t4n

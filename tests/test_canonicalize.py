@@ -114,6 +114,24 @@ def test_entities_aliases_collected(kg):
     assert "AAPL" in apple[0]["aliases"] or "Apple" in apple[0]["aliases"]
 
 
+def test_canonical_paths_agree(spark, kg):
+    """Driver-side and distributed canonical-map paths must be row-identical."""
+    from vanna_financial_knowledge_graph_spark.operators.canonicalize import (
+        build_canonical_map,
+    )
+
+    mentions = kg["mentions"]
+    fast = {
+        tuple(r)
+        for r in build_canonical_map(spark, mentions, small_threshold=10**9).collect()
+    }
+    dist = {
+        tuple(r)
+        for r in build_canonical_map(spark, mentions, small_threshold=0).collect()
+    }
+    assert fast == dist
+
+
 def test_sql_strip_agrees_with_python(spark):
     """strip_suffix_expr (JVM) must agree with textops.strip_corp_suffix
     (Python oracle) on every gazetteer surface plus adversarial strings."""

@@ -228,29 +228,135 @@ def connected_components(
     return labels.withColumnRenamed("label", "component")
 
 
+def _canonical_map_driver(
+    spark: SparkSession,
+    surface_stats: list[tuple],
+    group_id: str,
+) -> DataFrame:
+    """Driver-side canonical map for small distinct-surface sets: identical
+    logic to the distributed path (struct-max canonical pick, min-member
+    components) computed in plain Python — one Spark aggregation job in,
+    one createDataFrame out. Equality with the distributed path is asserted
+    by tests/test_canonicalize.py::test_canonical_paths_agree."""
+    from ..functions.textops import norm_name, stable_id, strip_corp_suffix
+
+    # registry surfaces: name_norm -> (canonical_name, canonical_norm, etype, definition)
+    reg: dict[str, tuple] = {}
+    for r in registry_rows():
+        cn = norm_name(r["canonical_name"])
+        surfaces = {r["canonical_name"], *r["aliases"]}
+        if r["ticker"]:
+            surfaces.add(r["ticker"])
+        for s in surfaces:
+            sn = norm_name(s)
+            if sn and (sn not in reg or reg[sn][1] > cn):
+                reg[sn] = (r["canonical_name"], cn, r["entity_type"], r["definition"])
+
+    # surface pick per name_norm: max by (cnt, name, entity_type)
+    pick: dict[str, tuple] = {}
+    for name_norm, name, etype, cnt in surface_stats:
+        key = (cnt, name, etype)
+        if name_norm not in pick or key > pick[name_norm][0]:
+            pick[name_norm] = (key, name, etype)
+
+    # nodes and deterministic edges (suffix-strip + registry aliases)
+    nodes = set(pick) | set(reg) | {v[1] for v in reg.values()}
+    edges: list[tuple[str, str]] = []
+    for n in set(pick):
+        stripped = strip_corp_suffix(n)
+        if stripped != n:
+            edges.append((n, stripped))
+            nodes.add(stripped)
+    for sn, (_, cn, _, _) in reg.items():
+        if sn != cn:
+            edges.append((sn, cn))
+    comp = union_find_components_py(sorted(nodes), edges)
+
+    # per-component canonical pick: max struct(is_registry, len, display,
+    # 9-type_rank, etype, definition) — same ordering as the Spark struct
+    info: dict[str, tuple] = {}
+    for n in nodes:
+        if n in reg:
+            canonical_name, _, etype, definition = reg[n]
+            is_reg = True
+        elif n in pick:
+            canonical_name, etype, definition, is_reg = pick[n][1], pick[n][2], "", False
+        else:
+            canonical_name, etype, definition, is_reg = n, "unknown", "", False
+        info[n] = (
+            is_reg,
+            len(canonical_name),
+            canonical_name,
+            9 - _TYPE_PRIORITY.get(etype, 9),
+            etype,
+            definition,
+        )
+    best: dict[str, tuple] = {}
+    for n, c in comp.items():
+        if c not in best or info[n] > best[c]:
+            best[c] = info[n]
+
+    rows = []
+    for n in sorted(nodes):
+        b = best[comp[n]]
+        etype = "concept" if b[4] == "unknown" else b[4]
+        rows.append(
+            (
+                n,
+                stable_id("entity", group_id, b[2].lower(), etype),
+                b[2],
+                etype,
+                comp[n],
+                group_id,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "name_norm string, entity_uuid string, canonical_name string, "
+        "entity_type string, component string, group_id string",
+    )
+
+
 def build_canonical_map(
-    spark: SparkSession, mentions: DataFrame, group_id: str = GROUP_ID
+    spark: SparkSession,
+    mentions: DataFrame,
+    group_id: str = GROUP_ID,
+    small_threshold: int = 200_000,
 ) -> DataFrame:
     """mentions -> canonical_map(name_norm, entity_uuid, canonical_name,
-    entity_type, component). Small output: one row per distinct surface."""
+    entity_type, component). Small output: one row per distinct surface.
+
+    Size-adaptive like connected_components: below the threshold the whole
+    reduction runs driver-side off ONE aggregation job (the distinct-surface
+    stats); above it, the distributed path (salted CC + struct-max joins).
+    """
+    surface_counts = (
+        mentions.where(F.col("kind") == "entity")
+        .groupBy("name_norm", "name", "entity_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if small_threshold:
+        stats = [
+            (r["name_norm"], r["name"], r["entity_type"], r["cnt"])
+            for r in surface_counts.collect()
+        ]
+        if len({s[0] for s in stats}) <= small_threshold:
+            return _canonical_map_driver(spark, stats, group_id)
+
     nodes, edges = build_entity_nodes_edges(spark, mentions)
     comp = connected_components(nodes, edges)
 
     reg = registry_surfaces_df(spark)
 
     # Per-node display info: registry wins; else the most frequent surface
-    # spelling from the corpus (deterministic max_by with name tiebreak).
-    surface_counts = (
-        mentions.where(F.col("kind") == "entity")
-        .groupBy("name_norm", "name", "entity_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    # spelling from the corpus (deterministic max_by with name/type tiebreak,
+    # identical ordering to the driver path).
     surface_pick = (
         surface_counts.groupBy("name_norm")
         .agg(
             F.max_by(
                 F.struct(F.col("name"), F.col("entity_type")),
-                F.struct(F.col("cnt"), F.col("name")),
+                F.struct(F.col("cnt"), F.col("name"), F.col("entity_type")),
             ).alias("pick")
         )
         .select(

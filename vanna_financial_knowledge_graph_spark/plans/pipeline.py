@@ -34,18 +34,22 @@ from ..operators.assemble import (
 )
 from ..operators.canonicalize import build_canonical_map, build_entities
 from ..operators.extract import (
-    build_chunks,
     build_docs,
     extract_pages_text,
 )
-from ..operators.mentions import detect_mentions
-from ..operators.triples import extract_facts_raw
+from ..operators.ingest import (
+    build_annotations,
+    chunks_from_annotations,
+    facts_raw_from_annotations,
+    mentions_from_annotations,
+)
 from ..sources.pages import synthesize_pages
 
 STAGES = [
     "pages",
     "extracted",
     "docs",
+    "annotations",
     "chunks",
     "mentions",
     "facts_raw",
@@ -81,6 +85,7 @@ class PipelineRun:
         *,
         group_id: str = "default",
         repartition: int | None = None,
+        replicate: int = 1,
     ) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
@@ -88,6 +93,8 @@ class PipelineRun:
         self.group_id = group_id
         # explicit url-hash repartitioning width for the ingest fan-out
         self.repartition = repartition
+        # corpus multiplier (scaling benchmark sizes work to core count)
+        self.replicate = replicate
         self.stage_stats: dict[str, dict] = {}
         self.executed: list[str] = []
         self.skipped: list[str] = []
@@ -128,13 +135,16 @@ class PipelineRun:
         df = build()
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
-        # per-partition lineage metrics (north rule): rows per output file
-        part_rows = [
-            {"partition_id": int(r["pid"]), "rows_out": int(r["n"])}
-            for r in out.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        ]
+        # per-partition lineage metrics (north rule): rows per output file,
+        # read from the parquet FOOTERS — no second pass over the data
+        import pyarrow.parquet as pq
+
+        part_rows = []
+        for i, fname in enumerate(
+            sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        ):
+            md = pq.read_metadata(os.path.join(path, fname))
+            part_rows.append({"partition_id": i, "rows_out": md.num_rows})
         rows = sum(p["rows_out"] for p in part_rows)
         sec = time.time() - t0
         with open(_manifest_path(self.work_dir, stage), "w") as f:
@@ -163,21 +173,38 @@ class PipelineRun:
         def _pages():
             # explicit repartition by doc/url hash: uniform ingest fan-out,
             # applied to the UDF *input* so synthesis itself parallelizes
-            return synthesize_pages(spark, self.sf_dir, self.repartition)
+            return synthesize_pages(
+                spark, self.sf_dir, self.repartition, self.replicate
+            )
 
-        pages = self._run_stage("pages", [], _pages, params=str(self.repartition))
+        pages = self._run_stage(
+            "pages", [], _pages, params=f"{self.repartition}|{self.replicate}"
+        )
         extracted = self._run_stage(
             "extracted", ["pages"], lambda: extract_pages_text(pages)
         )
         docs = self._run_stage("docs", ["extracted"], lambda: build_docs(extracted, gid))
+        # fused ingest kernel straight off pages (extract_text runs inside):
+        # ONE Arrow crossing produces chunk+mention+fact rows; the three
+        # tables below are column-pruned JVM-side selects/explodes. The
+        # extracted stage above stays as the byte-identity validation branch.
+        annotations = self._run_stage(
+            "annotations",
+            ["pages"],
+            lambda: build_annotations(spark, pages, gid),
+        )
         chunks = self._run_stage(
-            "chunks", ["extracted"], lambda: build_chunks(extracted, gid)
+            "chunks", ["annotations"], lambda: chunks_from_annotations(annotations)
         )
         mentions = self._run_stage(
-            "mentions", ["chunks"], lambda: detect_mentions(spark, chunks, gid)
+            "mentions",
+            ["annotations"],
+            lambda: mentions_from_annotations(annotations),
         )
         facts_raw = self._run_stage(
-            "facts_raw", ["chunks"], lambda: extract_facts_raw(spark, chunks, gid)
+            "facts_raw",
+            ["annotations"],
+            lambda: facts_raw_from_annotations(annotations),
         )
         # dimension-sized outputs: coalesce so we don't write 64 tiny files
         canonical_map = self._run_stage(
@@ -205,6 +232,7 @@ class PipelineRun:
             "pages": pages,
             "extracted": extracted,
             "docs": docs,
+            "annotations": annotations,
             "chunks": chunks,
             "mentions": mentions,
             "facts_raw": facts_raw,
@@ -223,7 +251,13 @@ def run_pipeline(
     *,
     group_id: str = "default",
     repartition: int | None = None,
+    replicate: int = 1,
 ) -> dict[str, DataFrame]:
     return PipelineRun(
-        spark, sf_dir, work_dir, group_id=group_id, repartition=repartition
+        spark,
+        sf_dir,
+        work_dir,
+        group_id=group_id,
+        repartition=repartition,
+        replicate=replicate,
     ).run()

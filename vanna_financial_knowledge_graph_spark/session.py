@@ -36,13 +36,40 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(sp))
+        # This workload is CPU-per-row heavy (trie matching, chunking) over
+        # zstd-compressed text: at the default 128MB split / 64MB advisory
+        # size a whole table fits in 1-2 tasks and UDF stages serialize.
+        # Split small so scan/shuffle parallelism tracks the core count.
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(8 * 1024 * 1024),
+        )
         # Arrow for every pandas UDF / mapInPandas exchange.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # Gazetteer / canonical-map / ontology joins must broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("VKG_DRIVER_MEM", "8g"))
+        # local-mode driver == executor: size the heap to the thread count
+        # (32 concurrent tasks over binary html columns thrash an 8g heap
+        # with GC that also stalls every later small-job stage)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("VKG_DRIVER_MEM", f"{max(16, n)}g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd everywhere (same choice as the reference's parquet backend):
+        # html/text columns compress 3-5x, and this sandbox's virtio disk is
+        # throttled — fewer bytes written is the single biggest stabilizer
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.io.compression.codec", "zstd")
+        # shuffle/broadcast scratch on tmpfs: the sandbox's /tmp sits on a
+        # virtio disk that throttles erratically (32-256 MB/s), which shows
+        # up as random multi-second stalls in whatever stage shuffles next
+        .config(
+            "spark.local.dir",
+            os.environ.get("VKG_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
     )
     return builder.getOrCreate()

@@ -145,16 +145,18 @@ def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     epoch = _dt.datetime(2025, 6, 1, tzinfo=_dt.timezone.utc)
     for pdf in batches:
         rows = []
-        for doc_id, text, lang, source in zip(
-            pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+        for doc_id, text, lang, source, rep in zip(
+            pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"], pdf["rep"]
         ):
-            rng = random.Random(9973 * int(doc_id) + 42)
+            # per-(doc, replica) seed: output identical at any partitioning
+            rng = random.Random(9973 * int(doc_id) + 7919 * int(rep) + 42)
             html = _page_html(int(doc_id), str(text), rng)
             hb = html.encode("utf-8")
+            suffix = f"/r{int(rep)}" if int(rep) else ""
             rows.append(
                 {
-                    "url": f"https://news.example.com/{source}/{int(doc_id)}",
-                    "warc_ts": epoch + _dt.timedelta(minutes=int(doc_id)),
+                    "url": f"https://news.example.com/{source}/{int(doc_id)}{suffix}",
+                    "warc_ts": epoch + _dt.timedelta(minutes=int(doc_id), seconds=int(rep)),
                     "html": hb,
                     "text": extract_text(hb),
                     "lang": str(lang),
@@ -163,18 +165,27 @@ def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
-def synthesize_pages(spark, sf_dir: str, repartition: int | None = None):
+def synthesize_pages(
+    spark, sf_dir: str, repartition: int | None = None, replicate: int = 1
+):
     """documents.parquet -> pages DataFrame (distributed, deterministic).
 
     Repartition happens on the *input* (before the generation UDF) so the
     CPU-heavy HTML synthesis parallelizes even when the source is one file;
-    per-doc seeding keeps output identical at any partitioning.
+    per-(doc, replica) seeding keeps output identical at any partitioning.
+    `replicate` multiplies the corpus (distinct urls/content per replica) —
+    used by the scaling benchmark to size the workload to the core count.
     """
+    from pyspark.sql import functions as F
+
     from ..schemas import PAGES
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
+    docs = docs.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(max(0, replicate - 1))))
+    )
     if repartition:
-        docs = docs.repartition(repartition, "doc_id")
+        docs = docs.repartition(repartition, "doc_id", "rep")
     return docs.mapInPandas(_gen, schema=PAGES)
