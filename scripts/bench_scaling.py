@@ -27,11 +27,11 @@ cpus, sf_dir, work, rep = int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.ar
 # partitioning is sized to the DATA, identical at both cluster sizes —
 # exactly what you'd do on a real cluster (the file/task layout must not
 # change when you add executors, or you're benchmarking the FS not the job)
-spark = get_spark("vkg-scale", cpus=cpus, shuffle_partitions=32)
+spark = get_spark("vkg-scale", cpus=cpus, shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
 shutil.rmtree(work, ignore_errors=True)
 t0 = time.time()
-out = run_pipeline(spark, sf_dir, work, repartition=32, replicate=rep)
+out = run_pipeline(spark, sf_dir, work, repartition=64, replicate=rep)
 n_docs = out["docs"].count()
 n_facts = out["facts"].count()
 sec = time.time() - t0
