@@ -114,3 +114,22 @@ def test_hot_entity_skew_present(kg):
     )
     total_docs = kg["docs"].count()
     assert apple_docs / total_docs > 0.25
+
+
+def test_dedupe_pages_latest_wins(spark):
+    import datetime as dt
+
+    from vanna_financial_knowledge_graph_spark.sources.pages import dedupe_pages
+
+    rows = [
+        ("u1", dt.datetime(2025, 1, 1), b"<p>old</p>", "old", "en"),
+        ("u1", dt.datetime(2025, 6, 1), b"<p>new</p>", "new", "en"),
+        ("u2", dt.datetime(2025, 3, 1), b"<p>only</p>", "only", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    got = {r["url"]: r["text"] for r in dedupe_pages(pages).collect()}
+    assert got == {"u1": "new", "u2": "only"}
+    got_e = {r["url"]: r["text"] for r in dedupe_pages(pages, "earliest").collect()}
+    assert got_e["u1"] == "old"

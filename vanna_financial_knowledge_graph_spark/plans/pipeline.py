@@ -86,6 +86,7 @@ class PipelineRun:
         group_id: str = "default",
         repartition: int | None = None,
         replicate: int = 1,
+        dedup_urls: bool = False,
     ) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
@@ -95,6 +96,8 @@ class PipelineRun:
         self.repartition = repartition
         # corpus multiplier (scaling benchmark sizes work to core count)
         self.replicate = replicate
+        # collapse duplicate urls (latest crawl wins) before extraction
+        self.dedup_urls = dedup_urls
         self.stage_stats: dict[str, dict] = {}
         self.executed: list[str] = []
         self.skipped: list[str] = []
@@ -173,12 +176,20 @@ class PipelineRun:
         def _pages():
             # explicit repartition by doc/url hash: uniform ingest fan-out,
             # applied to the UDF *input* so synthesis itself parallelizes
-            return synthesize_pages(
+            df = synthesize_pages(
                 spark, self.sf_dir, self.repartition, self.replicate
             )
+            if self.dedup_urls:
+                from ..sources.pages import dedupe_pages
+
+                df = dedupe_pages(df)
+            return df
 
         pages = self._run_stage(
-            "pages", [], _pages, params=f"{self.repartition}|{self.replicate}"
+            "pages",
+            [],
+            _pages,
+            params=f"{self.repartition}|{self.replicate}|{self.dedup_urls}",
         )
         extracted = self._run_stage(
             "extracted", ["pages"], lambda: extract_pages_text(pages)

@@ -165,6 +165,28 @@ def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
+def dedupe_pages(pages, keep: str = "latest"):
+    """Collapse duplicate urls (FIXTURES.md §1 edge case: the same url can
+    appear in multiple crawl partitions). keep='latest' retains the row with
+    the max warc_ts (ties broken by text to stay deterministic); 'earliest'
+    the min. One shuffle keyed by url — at 100TB this is the standard
+    crawl-dedup exchange and is skew-free (url hash keys)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    order = (
+        [F.desc("warc_ts"), F.desc("text")]
+        if keep == "latest"
+        else [F.asc("warc_ts"), F.asc("text")]
+    )
+    w = Window.partitionBy("url").orderBy(*order)
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def synthesize_pages(
     spark, sf_dir: str, repartition: int | None = None, replicate: int = 1
 ):
