@@ -39,9 +39,14 @@ def _kg(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Run (or resume) the KG pipeline for this sf_dir; cached per dir."""
     key = os.path.abspath(sf_dir)
     if key not in _KG_CACHE:
+        import hashlib
+
         from vanna_financial_knowledge_graph_spark.plans.pipeline import run_pipeline
 
-        work = f"/tmp/vkg_entry/{os.path.basename(key) or 'sf'}"
+        # work dir keyed by abspath hash, not just basename: two sf dirs
+        # with the same basename must never share (and overwrite) parquet
+        tag = hashlib.sha256(key.encode()).hexdigest()[:8]
+        work = f"/tmp/vkg_entry/{os.path.basename(key) or 'sf'}-{tag}"
         _KG_CACHE[key] = run_pipeline(spark, sf_dir, work)
     return _KG_CACHE[key]
 
@@ -393,6 +398,41 @@ def emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def emb_near_dup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy-GEMM twin of emb_near_dup (same oracle, same rows; the scale
+    path for the hot constant factor)."""
+    from vanna_financial_knowledge_graph_spark.operators.dedup import (
+        embedding_near_dups_fast,
+    )
+
+    return embedding_near_dups_fast(
+        _t(spark, sf_dir, "embeddings"), "label", threshold=0.30
+    ).orderBy("id_a", "id_b")
+
+
+def merge_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 MERGE sink demo: upsert modified + new customer rows, then
+    aggregate the merged table (oracle reproduces the merge in SQL)."""
+    from vanna_financial_knowledge_graph_spark.operators.upsert import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    updates = c.where(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1000.0
+    )
+    inserts = c.where(F.col("c_custkey") % 97 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 1_000_000
+    )
+    merged = merge_upsert(c, updates.unionByName(inserts), ["c_custkey"])
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # --- approximate / non-SQL-expressible (rows-only checks) -------------------
 
 
@@ -407,7 +447,9 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vanna_financial_knowledge_graph_spark.operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=16)
+    # max_hamming=3 < bands=4: multi-band probing guarantees recall 1.0
+    # (pigeonhole) and the exact bit_count verify gives precision 1.0
+    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def lsh_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,7 +481,10 @@ def media_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).alias("duration_ms"),
         )
     )
-    return extract_media_features(media)
+    # feature is array<float>; serialize so the driver's sorter can hash it
+    return extract_media_features(media).withColumn(
+        "feature", F.to_json("feature")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -452,7 +497,11 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _kg(spark, sf_dir)["entities"]
+    # aliases is array<string>; serialize to JSON so the driver's result
+    # canonicalizer (sorts every column) can hash the rows
+    return _kg(spark, sf_dir)["entities"].withColumn(
+        "aliases", F.to_json("aliases")
+    )
 
 
 def kg_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,6 +569,71 @@ def kg_stats_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("table_name")
 
 
+def kg_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index table (kind, uuid, embedding) built in-pipeline (U3)."""
+    v = _kg(spark, sf_dir)["vectors"]
+    return v.select(
+        "kind", "uuid", F.to_json("embedding").alias("embedding_json"), "group_id"
+    )
+
+
+def kg_entity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_entities(text): deterministic feature-hash embedding search
+    over the entity vector index (reference knowledge_graph.py:995-1061)."""
+    from vanna_financial_knowledge_graph_spark.operators.embed import search_entities
+
+    kg = _kg(spark, sf_dir)
+    return search_entities(
+        spark, kg["vectors"], kg["entities"],
+        "smartphone maker reported quarterly earnings", k=10,
+    )
+
+
+def kg_search_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MCP two-stage search: structured fact filter (3x over-fetch) ->
+    cosine re-rank within the hit set (mcp/server.py:384-409)."""
+    from vanna_financial_knowledge_graph_spark.operators.embed import two_stage_search
+
+    kg = _kg(spark, sf_dir)
+    return two_stage_search(
+        spark,
+        kg["facts"],
+        kg["vectors"],
+        ["Apple Inc.", "Microsoft Corporation"],
+        "acquisition announcement",
+        k=10,
+    )
+
+
+def kg_context_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphRAG context assembly: union of entity/neighbor/topic/global
+    chunk sources -> A8 dedup -> W6 split -> W5 caps, as one query."""
+    from vanna_financial_knowledge_graph_spark.operators.context import build_context
+
+    kg = _kg(spark, sf_dir)
+    return build_context(
+        spark,
+        kg["entities"],
+        kg["relationships"],
+        kg["chunks"],
+        kg["vectors"],
+        "Apple Inc.",
+        "earnings and acquisitions in the technology sector",
+    )
+
+
+def kg_topic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 topic 1-hop chunks."""
+    from vanna_financial_knowledge_graph_spark.operators.readpath import (
+        topic_one_hop_chunks,
+    )
+
+    kg = _kg(spark, sf_dir)
+    return topic_one_hop_chunks(
+        kg["topics"], kg["relationships"], kg["chunks"], "Inflation"
+    )
+
+
 def kg_byte_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vanna_financial_knowledge_graph_spark.operators.extract import (
         byte_identity_report,
@@ -567,6 +681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "ann_topk_bruteforce": ann_topk_bruteforce,
         "emb_near_dup": emb_near_dup,
+        "emb_near_dup_fast": emb_near_dup_fast,
+        "merge_upsert_agg": merge_upsert_agg,
         "minhash_near_dup": minhash_near_dup,
         "simhash_candidates": simhash_candidates,
         "lsh_topk_approx": lsh_topk_approx,
@@ -584,6 +700,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_facts_around": kg_facts_around,
         "kg_stats_counts": kg_stats_counts,
         "kg_byte_identity": kg_byte_identity,
+        "kg_vectors": kg_vectors,
+        "kg_entity_search": kg_entity_search,
+        "kg_search_two_stage": kg_search_two_stage,
+        "kg_context_build": kg_context_build,
+        "kg_topic_chunks": kg_topic_chunks,
     }
 
 
@@ -793,17 +914,39 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 10
             ORDER BY query_id, rank
         """,
-        "emb_near_dup": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 4) AS cosine
-            FROM embeddings a JOIN embeddings b ON a.label = b.label
-            WHERE a.vec_id < b.vec_id
-              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.30
-            ORDER BY id_a, id_b
+        "emb_near_dup": _EMB_NEAR_DUP_ORACLE,
+        "emb_near_dup_fast": _EMB_NEAR_DUP_ORACLE,
+        "merge_upsert_agg": """
+            WITH updates AS (
+                SELECT * REPLACE (c_acctbal + 1000.0 AS c_acctbal)
+                FROM customer WHERE c_mktsegment = 'BUILDING'
+            ), inserts AS (
+                SELECT * REPLACE (c_custkey + 1000000 AS c_custkey)
+                FROM customer WHERE c_custkey % 97 = 0
+            ), ups AS (
+                SELECT * FROM updates UNION ALL SELECT * FROM inserts
+            ), merged AS (
+                SELECT * FROM customer
+                WHERE c_custkey NOT IN (SELECT c_custkey FROM ups)
+                UNION ALL SELECT * FROM ups
+            )
+            SELECT c_mktsegment, count(*) AS n_rows,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
     }
+
+
+_EMB_NEAR_DUP_ORACLE = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.label = b.label
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.30
+    ORDER BY id_a, id_b
+"""
 
 
 def _marker_sql(words: list[str]) -> str:

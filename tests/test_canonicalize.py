@@ -151,6 +151,9 @@ def test_sql_strip_agrees_with_python(spark):
         for x in [
             "Acme Co Inc.", "Solo", "inc", "x s.a.", "big holdings group",
             "co co co co", "trailing space co ", "Group Therapy Group",
+            # 4+ stacked suffixes: both paths must strip to fixpoint
+            "x co inc. llc holdings", "y inc inc inc inc inc",
+            "zeta corp ltd plc sa ag nv group",
         ]
     ]
     df = spark.createDataFrame([(s,) for s in samples], "s string")

@@ -1,0 +1,219 @@
+"""Embedding generation (U3/U4), vector table, semantic search, two-stage
+search, context assembly, and the MERGE upsert sink."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vanna_financial_knowledge_graph_spark.functions.embedding import (
+    EMBED_DIM,
+    embed_batch,
+    embed_text,
+)
+
+
+def test_embed_deterministic_and_normalized():
+    a = embed_text("Apple acquired Stripe in Q3 2024")
+    b = embed_text("Apple acquired Stripe in Q3 2024")
+    assert a == b and len(a) == EMBED_DIM
+    import numpy as np
+
+    assert np.linalg.norm(a) == pytest.approx(1.0, abs=1e-5)
+    assert embed_text("") == [0.0] * EMBED_DIM
+
+
+def test_embed_batch_matches_single():
+    texts = ["alpha beta gamma", "", "Apple reported earnings", "alpha beta gamma"]
+    mat = embed_batch(texts)
+    assert mat.shape == (4, EMBED_DIM)
+    for i, t in enumerate(texts):
+        assert list(mat[i]) == embed_text(t)
+    assert list(mat[0]) == list(mat[3])
+
+
+def test_spark_embedding_matches_python(spark):
+    from vanna_financial_knowledge_graph_spark.operators.embed import with_embedding
+
+    df = spark.createDataFrame(
+        [(1, "Apple reported earnings"), (2, None), (3, "markets rallied today")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["embedding"] for r in with_embedding(df, "text").collect()}
+    assert got[1] == embed_text("Apple reported earnings")
+    assert got[2] == [0.0] * EMBED_DIM
+    assert got[3] == embed_text("markets rallied today")
+
+
+def test_vectors_stage_and_entity_search(spark, kg):
+    from vanna_financial_knowledge_graph_spark.operators.embed import search_entities
+
+    v = kg["vectors"]
+    kinds = {r["kind"]: r["n"] for r in v.groupBy("kind").count().withColumnRenamed("count", "n").collect()}
+    assert kinds["chunk"] == kg["chunks"].count()
+    assert kinds["entity"] == kg["entities"].count()
+    assert kinds["fact"] == kg["facts"].count()
+    # all embeddings full-dim
+    assert v.where(F.size("embedding") != EMBED_DIM).count() == 0
+
+    hits = search_entities(
+        spark, v, kg["entities"], "Apple Inc. technology company", k=5
+    ).collect()
+    assert len(hits) == 5
+    assert [h["rank"] for h in hits] == [1, 2, 3, 4, 5]
+    # the query embeds the exact name+summary tokens of Apple Inc. — it must
+    # be the closest or near-closest entity
+    assert any(h["name"] == "Apple Inc." for h in hits)
+
+
+def test_two_stage_search(spark, kg):
+    from vanna_financial_knowledge_graph_spark.operators.embed import two_stage_search
+
+    got = two_stage_search(
+        spark,
+        kg["facts"],
+        kg["vectors"],
+        ["Apple Inc.", "Microsoft Corporation"],
+        "acquisition announcement",
+        k=10,
+    ).collect()
+    assert 0 < len(got) <= 10
+    # ranked by cosine descending
+    scores = [r["cosine"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # every hit involves one of the filter entities (stage-1 contract)
+    for r in got:
+        assert r["subject_name"] in ("Apple Inc.", "Microsoft Corporation") or r[
+            "object_name"
+        ] in ("Apple Inc.", "Microsoft Corporation")
+
+
+def test_context_build_composition(spark, kg):
+    from vanna_financial_knowledge_graph_spark.operators.context import build_context
+
+    ctx = build_context(
+        spark,
+        kg["entities"],
+        kg["relationships"],
+        kg["chunks"],
+        kg["vectors"],
+        "Apple Inc.",
+        "earnings in the technology sector",
+        caps={"entity": 5, "neighbor": 4, "topic": 3, "global": 2},
+    )
+    rows = ctx.collect()
+    assert rows, "context must be non-empty for the hot entity"
+    by_source = {}
+    seen = set()
+    for r in rows:
+        assert r["chunk_uuid"] not in seen, "A8 dedup violated"
+        seen.add(r["chunk_uuid"])
+        assert r["relevance"] in ("high", "low")
+        by_source[r["source"]] = by_source.get(r["source"], 0) + 1
+    assert by_source.get("entity", 0) <= 5
+    assert by_source.get("neighbor", 0) <= 4
+    assert by_source.get("topic", 0) <= 3
+    assert by_source.get("global", 0) <= 2
+
+
+def test_context_caps_respected_hand_fixture(spark):
+    """Hand-computed fixture: known graph -> exact expected context rows."""
+    from vanna_financial_knowledge_graph_spark.operators.context import build_context
+    from vanna_financial_knowledge_graph_spark.operators.embed import with_embedding
+
+    ents = spark.createDataFrame(
+        [("e1", "Acme", "", "company", [], "default"),
+         ("e2", "Bolt", "", "company", [], "default")],
+        "uuid string, name string, summary string, entity_type string, "
+        "aliases array<string>, group_id string",
+    )
+    rels = spark.createDataFrame(
+        [("r1", "e1", "entity", "e2", "entity", "R", "c1", "f1", "", "", "default"),
+         ("r2", "e2", "entity", "e1", "entity", "R", "c2", "f2", "", "", "default")],
+        "id string, from_uuid string, from_type string, to_uuid string, "
+        "to_type string, rel_type string, chunk_uuid string, fact_id string, "
+        "description string, date_context string, group_id string",
+    )
+    chunks = spark.createDataFrame(
+        [("c1", "Acme acquired Bolt.", "default"),
+         ("c2", "Bolt sued Acme.", "default"),
+         ("c3", "Unrelated filler text.", "default")],
+        "chunk_uuid string, content string, group_id string",
+    )
+    vectors = with_embedding(
+        chunks.select(
+            F.lit("chunk").alias("kind"),
+            F.col("chunk_uuid").alias("uuid"),
+            F.col("content").alias("text"),
+            "group_id",
+        ),
+        "text",
+    ).drop("text")
+    ctx = build_context(
+        spark, ents, rels, chunks, vectors, "Acme", "acquisition",
+        caps={"entity": 10, "neighbor": 10, "topic": 10, "global": 1},
+    ).collect()
+    got = {(r["chunk_uuid"], r["source"]) for r in ctx}
+    # c1 and c2 both touch e1 -> source 'entity' wins the A8 dedup for both
+    assert ("c1", "entity") in got and ("c2", "entity") in got
+    # c3 only reachable via global; cap 1 admits at most one global row
+    assert sum(1 for _, s in got if s == "global") <= 1
+
+
+def test_merge_upsert(spark):
+    from vanna_financial_knowledge_graph_spark.operators.upsert import (
+        merge_upsert,
+        update_entity_summaries,
+        upsert_parquet,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    got = {r["k"]: (r["name"], r["v"]) for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    ents = spark.createDataFrame(
+        [("u1", "Acme", "old", "company"), ("u2", "Bolt", "keep", "company")],
+        "uuid string, name string, summary string, entity_type string",
+    )
+    new = spark.createDataFrame([("u1", "new summary")], "uuid string, summary string")
+    got2 = {r["uuid"]: r["summary"] for r in update_entity_summaries(ents, new).collect()}
+    assert got2 == {"u1": "new summary", "u2": "keep"}
+
+
+def test_upsert_parquet_in_place(spark, tmp_path):
+    from vanna_financial_knowledge_graph_spark.operators.upsert import upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, name string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], "k long, name string")
+    out = upsert_parquet(spark, path, updates, ["k"])
+    assert {(r["k"], r["name"]) for r in out.collect()} == {(1, "a"), (2, "B"), (3, "c")}
+    # durable: a fresh read sees the merged rows
+    again = spark.read.parquet(path)
+    assert again.count() == 3
+
+
+def test_embedding_near_dup_paths_agree(spark, tmp_path):
+    from vanna_financial_knowledge_graph_spark.operators.dedup import (
+        embedding_near_dups,
+        embedding_near_dups_fast,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups(emb, "label", 0.30).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups_fast(emb, "label", 0.30).collect()
+    }
+    assert set(exact) == set(fast)
+    for k in exact:
+        assert fast[k] == pytest.approx(exact[k], abs=1e-6)

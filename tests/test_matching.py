@@ -115,6 +115,33 @@ def test_triple_content_is_sentence():
     assert fs[0]["content"] == "Apple Inc. acquired Stripe Inc. in 2024."
 
 
+def test_triple_survives_newline_in_sentence():
+    # Regression: the old prefix re-find drifted when a sentence spanned a
+    # newline, mis-scoping mentions and silently dropping the fact.
+    text = "Apple\nInc. acquired Microsoft."
+    fs = _triples(text)
+    assert len(fs) == 1
+    assert fs[0]["subject_norm"] == "apple inc."
+    assert fs[0]["object_norm"] == "microsoft"
+    assert fs[0]["content"] == "Apple Inc. acquired Microsoft."
+
+
+def test_sentence_spans_exact_offsets():
+    from vanna_financial_knowledge_graph_spark.functions.textops import (
+        sentence_spans,
+    )
+
+    text = "First one.  Second\nspans lines. Third!"
+    spans = sentence_spans(text)
+    assert [t for _, _, t in spans] == [
+        "First one.",
+        "Second spans lines.",
+        "Third!",
+    ]
+    for s, e, t in spans:
+        assert text[s:e].replace("\n", " ") == t
+
+
 def test_triple_deterministic_uuid():
     a = _triples("Apple Inc. acquired Stripe Inc. in 2024.")
     b = _triples("Apple Inc. acquired Stripe Inc. in 2024.")

@@ -116,6 +116,35 @@ def test_hot_entity_skew_present(kg):
     assert apple_docs / total_docs > 0.25
 
 
+def test_pipeline_dedup_urls_end_to_end(spark, tmp_path):
+    """Planting the same urls across input partitions must yield one
+    doc/chunk set: fact and chunk counts are invariant to input duplication
+    because run_pipeline collapses duplicate urls by default."""
+    from vanna_financial_knowledge_graph_spark.plans.pipeline import run_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(6)
+    sf_base = str(tmp_path / "sf_base")
+    sf_dup = str(tmp_path / "sf_dup")
+    docs.write.parquet(f"{sf_base}/documents.parquet")
+    # same rows twice, spread over 2 partitions -> dup urls across partitions
+    docs.union(docs).repartition(2).write.parquet(f"{sf_dup}/documents.parquet")
+
+    base = run_pipeline(spark, sf_base, str(tmp_path / "w_base"))
+    dup = run_pipeline(spark, sf_dup, str(tmp_path / "w_dup"))
+
+    assert dup["docs"].count() == base["docs"].count() == 6
+    assert dup["chunks"].count() == base["chunks"].count()
+    assert dup["facts"].count() == base["facts"].count()
+    n = dup["chunks"].count()
+    assert dup["chunks"].select("chunk_uuid").distinct().count() == n
+
+    # with the collapse disabled, duplication visibly doubles the fact rows
+    raw = run_pipeline(
+        spark, sf_dup, str(tmp_path / "w_raw"), dedup_urls=False
+    )
+    assert raw["facts"].count() == 2 * base["facts"].count()
+
+
 def test_dedupe_pages_latest_wins(spark):
     import datetime as dt
 

@@ -138,3 +138,25 @@ def test_relevance_split_and_caps(spark):
     capped = R.context_caps(split, "relevance", "score", {"high": 2, "low": 3})
     assert capped.where("relevance = 'high'").count() == 2
     assert capped.where("relevance = 'low'").count() == 3
+
+
+def test_group_id_validation(spark):
+    import pytest
+
+    assert R.check_group_id("tenant-A_1") == "tenant-A_1"
+    for bad in ["", "has space", "a" * 65, "semi;colon", None]:
+        with pytest.raises(ValueError):
+            R.check_group_id(bad)
+    df = spark.createDataFrame(
+        [("ok-1",), ("bad id",), ("ok_2",)], "group_id string"
+    )
+    kept = {r["group_id"] for r in R.validate_group_ids(df).collect()}
+    assert kept == {"ok-1", "ok_2"}
+
+
+def test_paginate_matches_offset_limit(spark):
+    df = spark.createDataFrame(
+        [(i, f"n{i:03d}") for i in range(100)], "k int, name string"
+    )
+    got = [r["k"] for r in R.paginate(df, "name", limit=10, offset=20).collect()]
+    assert got == list(range(20, 30))

@@ -21,7 +21,7 @@ from .textops import (
     fact_uuid,
     normalize_relationship_type,
     norm_name,
-    split_sentences,
+    sentence_spans,
 )
 
 _RE_TOKEN = re.compile(r"[A-Za-z0-9][A-Za-z0-9&.'\-]*")
@@ -150,18 +150,19 @@ class Matcher:
         return out
 
 
-_MATCHER_CACHE: dict[int, Matcher] = {}
+_MATCHER_CACHE: list[tuple[list, Matcher]] = []
 
 
 def get_matcher(entries: list[tuple[str, str, str, str, str]]) -> Matcher:
-    """Per-process matcher cache keyed by entry-list identity (executors
-    deserialize the broadcast once; the trie is built once per worker)."""
-    key = id(entries)
-    m = _MATCHER_CACHE.get(key)
-    if m is None:
-        m = Matcher(entries)
-        _MATCHER_CACHE.clear()
-        _MATCHER_CACHE[key] = m
+    """Per-process matcher cache (executors deserialize the broadcast once;
+    the trie is built once per worker). Holds a reference to the keyed list
+    and compares with `is`, so a garbage-collected list can never alias a
+    stale matcher (id() is only unique among live objects)."""
+    if _MATCHER_CACHE and _MATCHER_CACHE[0][0] is entries:
+        return _MATCHER_CACHE[0][1]
+    m = Matcher(entries)
+    _MATCHER_CACHE.clear()
+    _MATCHER_CACHE.append((entries, m))
     return m
 
 
@@ -186,16 +187,12 @@ def extract_triples(
     """
     if not mentions:
         return []
-    # Sentence spans over the chunk: find each sentence's offset range.
+    # Sentence spans computed from the segmentation regex's own match
+    # offsets on the raw content — exact, even when a sentence spans a
+    # newline (the old prefix re-find drifted and silently dropped facts).
     facts: list[dict] = []
     seq = 0
-    cursor = 0
-    for sent in split_sentences(content):
-        start = content.find(sent[:40], cursor)
-        if start < 0:
-            start = cursor
-        end = start + len(sent)
-        cursor = end
+    for start, end, sent in sentence_spans(content):
         ms = [m for m in mentions if m["begin"] >= start and m["end"] <= end]
         if len(ms) < 2:
             continue

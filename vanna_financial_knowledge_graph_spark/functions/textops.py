@@ -277,10 +277,36 @@ def strip_corp_suffix(name_norm: str) -> str:
 _RE_SENT = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9\"'(])")
 
 
+def sentence_spans(paragraph: str) -> list[tuple[int, int, str]]:
+    """Deterministic sentence segmentation with exact char offsets.
+
+    Returns (start, end, text) per sentence where start/end index the
+    ORIGINAL paragraph (newlines counted) and text is the sentence with
+    newlines mapped to single spaces, stripped. Boundaries are found on the
+    newline-normalized string — a 1:1 character substitution, so offsets are
+    identical on the raw text. This replaces the old re-find-by-prefix
+    location scheme, which drifted whenever a sentence spanned a newline.
+    """
+    norm = paragraph.replace("\n", " ")
+    bounds: list[tuple[int, int]] = []
+    cursor = 0
+    for m in _RE_SENT.finditer(norm):
+        bounds.append((cursor, m.start()))
+        cursor = m.end()
+    bounds.append((cursor, len(norm)))
+    out: list[tuple[int, int, str]] = []
+    for s, e in bounds:
+        seg = norm[s:e]
+        ls = len(seg) - len(seg.lstrip())
+        rs = len(seg) - len(seg.rstrip())
+        if s + ls < e - rs:
+            out.append((s + ls, e - rs, seg[ls : len(seg) - rs]))
+    return out
+
+
 def split_sentences(paragraph: str) -> list[str]:
     """Deterministic sentence segmentation (period/question/bang + capital)."""
-    parts = _RE_SENT.split(paragraph.replace("\n", " "))
-    return [p.strip() for p in parts if p.strip()]
+    return [text for _, _, text in sentence_spans(paragraph)]
 
 
 _RE_DATE_CTX = re.compile(

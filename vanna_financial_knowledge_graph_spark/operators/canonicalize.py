@@ -73,22 +73,22 @@ def registry_surfaces_df(spark: SparkSession) -> DataFrame:
     )
 
 
-_SUFFIX_RE = (
-    r"\s+(inc\.?|corp\.?|corporation|co\.?|company|ltd\.?|plc|llc|lp|sa|s\.a\.|"
-    r"ag|nv|group|holdings|incorporated|limited)$"
+_SUFFIX_ALT = (
+    r"inc\.?|corp\.?|corporation|co\.?|company|ltd\.?|plc|llc|lp|sa|s\.a\.|"
+    r"ag|nv|group|holdings|incorporated|limited"
 )
+_SUFFIX_RE_REPEATED = rf"(?:\s+(?:{_SUFFIX_ALT}))+$"
 
 
 def strip_suffix_expr(col):
     """Corporate-suffix strip as a native SQL expression (JVM-side, no
-    Python workers): same semantics as functions.textops.strip_corp_suffix
-    (agreement covered by tests/test_canonicalize.py). Three nested passes
-    handle stacked suffixes ("x co inc."); the \\s+ anchor guarantees at
-    least one leading token survives."""
-    e = col
-    for _ in range(3):
-        e = F.regexp_replace(e, _SUFFIX_RE, "")
-    return e
+    Python workers): identical fixpoint semantics to
+    functions.textops.strip_corp_suffix — the repeated group strips any
+    number of stacked suffixes ("x co inc. llc holdings" -> "x") in ONE
+    regexp_replace pass, and the \\s+ anchor inside the group guarantees at
+    least one leading token survives. Agreement with the Python oracle is
+    covered by tests/test_canonicalize.py (incl. 4+ stacked suffixes)."""
+    return F.regexp_replace(col, _SUFFIX_RE_REPEATED, "")
 
 
 def _strip_suffix_col(df: DataFrame, src: str, dst: str) -> DataFrame:
@@ -336,12 +336,21 @@ def build_canonical_map(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     if small_threshold:
-        stats = [
-            (r["name_norm"], r["name"], r["entity_type"], r["cnt"])
-            for r in surface_counts.collect()
-        ]
-        if len({s[0] for s in stats}) <= small_threshold:
-            return _canonical_map_driver(spark, stats, group_id)
+        # Size gate BEFORE any driver materialization: the aggregated row
+        # count upper-bounds |distinct name_norm|, so collect() only ever
+        # runs on a set already proven to fit the threshold. (Distributed
+        # executors aggregate either way; only the tiny result may land on
+        # the driver.)
+        surface_counts = surface_counts.persist()
+        try:
+            if surface_counts.count() <= small_threshold:
+                stats = [
+                    (r["name_norm"], r["name"], r["entity_type"], r["cnt"])
+                    for r in surface_counts.collect()
+                ]
+                return _canonical_map_driver(spark, stats, group_id)
+        finally:
+            surface_counts.unpersist()
 
     nodes, edges = build_entity_nodes_edges(spark, mentions)
     comp = connected_components(nodes, edges)

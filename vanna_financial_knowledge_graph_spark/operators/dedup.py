@@ -71,21 +71,23 @@ def shingles(documents: DataFrame, text_col: str = "text", k: int = 3) -> DataFr
     )
 
 
+def _minhash_slot(seed: int):
+    # NOTE: the lambda must be UNARY — a second parameter (even a default
+    # like `i=i`) switches F.transform into (element, index) mode, and the
+    # "seed" silently becomes the array position, collapsing all signature
+    # slots into one hash function (caught by
+    # tests/test_dedup.py::test_minhash_slots_independent).
+    return F.array_min(
+        F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(seed)))
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 32
 ) -> DataFrame:
     """num_hashes-wide MinHash signature via xxhash64(shingle, seed):
     signature[i] = min over shingles of xxhash64(s, i). Pure SQL."""
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))
-                )
-            )
-            for i in range(num_hashes)
-        ]
-    )
+    sig = F.array(*[_minhash_slot(i) for i in range(num_hashes)])
     return sh.select("doc_id", sig.alias("signature"))
 
 
@@ -205,25 +207,61 @@ def _simhash64(texts: pd.Series) -> pd.Series:
     return texts.map(one)
 
 
-def simhash_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc + 16-bit prefix bucckets for candidate probing."""
-    return documents.select(
-        "doc_id",
-        _simhash64(F.col(text_col)).alias("simhash"),
-    ).withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 48))
+def simhash_fingerprints(
+    documents: DataFrame, text_col: str = "text", bands: int = 4
+) -> DataFrame:
+    """64-bit SimHash per doc, banded into `bands` equal bit-slices
+    (multi-table probing, Manku et al. WWW'07): by pigeonhole, any pair
+    within Hamming distance < bands agrees on at least one whole band, so
+    banded candidate generation has recall 1.0 for max_hamming <= bands-1
+    (tests/test_dedup.py::test_simhash_recall_exact_vs_bruteforce)."""
+    width = 64 // bands
+    mask = F.lit((1 << width) - 1)
+    fp = documents.select("doc_id", _simhash64(F.col(text_col)).alias("simhash"))
+    band_vals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(mask)
+            for b in range(bands)
+        ]
+    )
+    return fp.withColumn("bands", band_vals)
 
 
-def simhash_near_dups(documents: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Same-bucket SimHash pairs within a Hamming radius."""
-    fp = simhash_fingerprints(documents, text_col)
-    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a"), "bucket")
-    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b"), "bucket")
+def simhash_near_dups(
+    documents: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs via multi-band probing + exact Hamming verify.
+
+    Candidates = pairs sharing ANY of the `bands` bit-slices (union of band
+    tables via posexplode + bucket self-join, same shape as MinHash LSH);
+    verification is the exact bit_count(xor) filter, so output precision is
+    1.0 and recall is 1.0 whenever max_hamming < bands (pigeonhole). The old
+    single-prefix probe missed every pair differing in a top-16 bit.
+    Buckets over max_bucket docs are dropped (boilerplate guard)."""
+    fp = simhash_fingerprints(documents, text_col, bands)
+    banded = fp.select(
+        "doc_id", "simhash", F.posexplode("bands").alias("band", "band_val")
+    )
+    sized = banded.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_val"))
+    ).where(F.col("bucket_n") <= max_bucket)
+    a = sized.select(
+        "band", "band_val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a")
+    )
+    b = sized.select(
+        "band", "band_val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b")
+    )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band", "band_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -253,6 +291,51 @@ def cosine_expr(a: str, b: str):
         )
     )
     return dot / (na * nb)
+
+
+def embedding_near_dups_fast(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """NumPy-matmul twin of embedding_near_dups: per block, ONE float64
+    GEMM scores all pairs (applyInPandas, Arrow batch in/out) instead of a
+    Catalyst aggregate-HOF per pair — ~an order of magnitude less CPU at
+    identical output (agreement asserted by
+    tests/test_dedup.py::test_embedding_near_dup_paths_agree). Same scale
+    shape: the groupBy(block) shuffle bounds pair counts exactly like the
+    exact path; per-block memory is O(block_size * dim + block_size^2)."""
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (m / norms) @ (m / norms).T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = sims[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0]][keep],
+                "id_b": ids[iu[1]][keep],
+                "cosine": np.round(sims[iu][keep], 4),
+            }
+        )
+
+    return (
+        embeddings.select(
+            F.col(block_col).alias("blk"), "vec_id", "embedding"
+        )
+        .groupBy("blk")
+        .applyInPandas(_block, "id_a long, id_b long, cosine double")
+    )
 
 
 def embedding_near_dups(

@@ -25,6 +25,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# P8: tenant/group ids must be short, url-safe tokens (the reference
+# validates group_id format before any query touches storage)
+GROUP_ID_PATTERN = "^[A-Za-z0-9_-]{1,64}$"
+
+
+def validate_group_ids(df: DataFrame, col: str = "group_id") -> DataFrame:
+    """P8 guard: keep only rows whose group_id matches the format rule —
+    a codegen-friendly rlike predicate, pushed to the scan."""
+    return df.where(F.col(col).rlike(GROUP_ID_PATTERN))
+
+
+def check_group_id(group_id: str) -> str:
+    """Driver-side P8 validation for user-supplied tenant ids."""
+    import re
+
+    if not re.match(GROUP_ID_PATTERN, group_id or ""):
+        raise ValueError(
+            f"invalid group_id {group_id!r}: must match {GROUP_ID_PATTERN}"
+        )
+    return group_id
+
 
 def entity_one_hop_chunks(
     entities: DataFrame,
@@ -154,13 +175,14 @@ def kg_stats(tables: dict[str, DataFrame], group_id: str = "default") -> DataFra
 
 
 def paginate(df: DataFrame, order_col: str, limit: int, offset: int) -> DataFrame:
-    """ORDER BY ... LIMIT ? OFFSET ? (W2) via a row_number window."""
-    w = Window.orderBy(F.col(order_col), *[c for c in df.columns if c != order_col])
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
-        .drop("_rn")
-    )
+    """ORDER BY ... LIMIT ? OFFSET ? (W2).
+
+    Expressed as orderBy().offset().limit() so Catalyst plans a distributed
+    TakeOrderedAndProject (per-partition top-(offset+limit) then a driver
+    merge of tiny heads) — NOT a row_number window with no partitionBy,
+    which would shuffle the whole table onto a single task."""
+    order = [F.col(order_col), *[F.col(c) for c in df.columns if c != order_col]]
+    return df.orderBy(*order).offset(offset).limit(limit)
 
 
 def dedup_max_score(df: DataFrame, key: str, score: str) -> DataFrame:

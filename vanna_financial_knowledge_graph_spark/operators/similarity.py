@@ -57,8 +57,9 @@ def lsh_bucketize(
 ) -> DataFrame:
     """Sign-random-projection bucket per vector, JVM-side.
 
-    Hyperplanes are derived deterministically from xxhash64(seed, plane, i)
-    mapped to [-1, 1] — no RNG state to ship, identical on every executor.
+    Hyperplanes come from a seeded np.random.RandomState(seed) on the driver
+    and are baked into the plan as literals — deterministic for a given
+    seed, no RNG state on executors, identical everywhere.
     """
     import numpy as np
 

@@ -33,6 +33,7 @@ from ..operators.assemble import (
     link_facts,
 )
 from ..operators.canonicalize import build_canonical_map, build_entities
+from ..operators.embed import build_vectors
 from ..operators.extract import (
     build_docs,
     extract_pages_text,
@@ -58,6 +59,7 @@ STAGES = [
     "topics",
     "facts",
     "relationships",
+    "vectors",
 ]
 
 
@@ -86,12 +88,14 @@ class PipelineRun:
         group_id: str = "default",
         repartition: int | None = None,
         replicate: int = 1,
-        dedup_urls: bool = False,
+        dedup_urls: bool = True,
     ) -> None:
+        from ..operators.readpath import check_group_id
+
         self.spark = spark
         self.sf_dir = sf_dir
         self.work_dir = work_dir
-        self.group_id = group_id
+        self.group_id = check_group_id(group_id)  # P8 tenant-id format guard
         # explicit url-hash repartitioning width for the ingest fan-out
         self.repartition = repartition
         # corpus multiplier (scaling benchmark sizes work to core count)
@@ -195,14 +199,15 @@ class PipelineRun:
             "extracted", ["pages"], lambda: extract_pages_text(pages)
         )
         docs = self._run_stage("docs", ["extracted"], lambda: build_docs(extracted, gid))
-        # fused ingest kernel straight off pages (extract_text runs inside):
-        # ONE Arrow crossing produces chunk+mention+fact rows; the three
-        # tables below are column-pruned JVM-side selects/explodes. The
-        # extracted stage above stays as the byte-identity validation branch.
+        # fused ingest kernel over the ALREADY-extracted text: ONE Arrow
+        # crossing produces chunk+mention+fact rows, and extract_text (the
+        # dominant Python cost) runs exactly once in the whole DAG — in the
+        # extracted stage, which doubles as the byte-identity branch. The
+        # three tables below are column-pruned JVM-side selects/explodes.
         annotations = self._run_stage(
             "annotations",
-            ["pages"],
-            lambda: build_annotations(spark, pages, gid),
+            ["extracted"],
+            lambda: build_annotations(spark, extracted, gid),
         )
         chunks = self._run_stage(
             "chunks", ["annotations"], lambda: chunks_from_annotations(annotations)
@@ -239,6 +244,12 @@ class PipelineRun:
         relationships = self._run_stage(
             "relationships", ["facts"], lambda: build_relationships(facts, gid)
         )
+        # per-kind vector index rows (reference: LanceDB indices per table)
+        vectors = self._run_stage(
+            "vectors",
+            ["chunks", "entities", "facts"],
+            lambda: build_vectors(chunks, entities, facts),
+        )
         return {
             "pages": pages,
             "extracted": extracted,
@@ -252,6 +263,7 @@ class PipelineRun:
             "topics": topics,
             "facts": facts,
             "relationships": relationships,
+            "vectors": vectors,
         }
 
 
@@ -263,7 +275,11 @@ def run_pipeline(
     group_id: str = "default",
     repartition: int | None = None,
     replicate: int = 1,
+    dedup_urls: bool = True,
 ) -> dict[str, DataFrame]:
+    """Run the full DAG. dedup_urls (default ON — crawl-shaped inputs carry
+    recrawls) collapses duplicate urls latest-crawl-wins before extraction,
+    so doc/chunk/fact uuids stay unique under input duplication."""
     return PipelineRun(
         spark,
         sf_dir,
@@ -271,4 +287,5 @@ def run_pipeline(
         group_id=group_id,
         repartition=repartition,
         replicate=replicate,
+        dedup_urls=dedup_urls,
     ).run()
