@@ -436,12 +436,19 @@ def merge_upsert_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- approximate / non-SQL-expressible (rows-only checks) -------------------
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents fanned out to the session's parallelism: the parquet is a
+    single file (1 scan partition), which would pin the CPU-heavy
+    shingle/hash phases of the near-dup operators to one core."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
+
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vanna_financial_knowledge_graph_spark.operators.dedup import minhash_near_dups
 
-    return minhash_near_dups(
-        _t(spark, sf_dir, "documents"), threshold=0.5
-    )
+    return minhash_near_dups(_docs_wide(spark, sf_dir), threshold=0.5)
 
 
 def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,7 +456,7 @@ def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # max_hamming=3 < bands=4: multi-band probing guarantees recall 1.0
     # (pigeonhole) and the exact bit_count verify gives precision 1.0
-    return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_near_dups(_docs_wide(spark, sf_dir), max_hamming=3)
 
 
 def lsh_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -634,6 +641,27 @@ def kg_topic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_topic_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic parent hierarchy: fact edges rolled up to root topics, plus
+    the ontology namespace rows (group_id='ontology') union-tagged."""
+    from vanna_financial_knowledge_graph_spark.operators.readpath import (
+        topic_parent_rollup,
+    )
+
+    kg = _kg(spark, sf_dir)
+    return topic_parent_rollup(kg["topics"], kg["relationships"])
+
+
+def kg_ontology_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ontology under the reserved group_id='ontology' (P1
+    namespace filter separates it from corpus topics)."""
+    from vanna_financial_knowledge_graph_spark.operators.assemble import (
+        ontology_topics,
+    )
+
+    return ontology_topics(spark).orderBy("uuid")
+
+
 def kg_byte_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vanna_financial_knowledge_graph_spark.operators.extract import (
         byte_identity_report,
@@ -705,6 +733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_search_two_stage": kg_search_two_stage,
         "kg_context_build": kg_context_build,
         "kg_topic_chunks": kg_topic_chunks,
+        "kg_topic_hierarchy": kg_topic_hierarchy,
+        "kg_ontology_namespace": kg_ontology_namespace,
     }
 
 

@@ -65,6 +65,7 @@ def main() -> int:
         "simhash_candidates",
         "ann_topk_bruteforce",
         "emb_near_dup",
+        "emb_near_dup_fast",
         "lang_id",
         "quality_score",
         "token_count",
@@ -87,6 +88,22 @@ def main() -> int:
     t0 = time.time()
     facts_for_entities(out["facts"], ["Apple Inc."], "around", 50).count()
     timings["kg_facts_around"] = round(time.time() - t0, 3)
+
+    from vanna_financial_knowledge_graph_spark.operators.context import build_context
+    from vanna_financial_knowledge_graph_spark.operators.embed import two_stage_search
+
+    t0 = time.time()
+    build_context(
+        spark, out["entities"], out["relationships"], out["chunks"],
+        out["vectors"], "Apple Inc.", "earnings and acquisitions",
+    ).count()
+    timings["kg_context_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    two_stage_search(
+        spark, out["facts"], out["vectors"],
+        ["Apple Inc.", "Microsoft Corporation"], "acquisition announcement",
+    ).count()
+    timings["kg_search_two_stage"] = round(time.time() - t0, 3)
 
     result = {
         "metric": "kg_pipeline_full_dag_sec",

@@ -31,11 +31,16 @@ spark = get_spark("vkg-scale", cpus=cpus, shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
 shutil.rmtree(work, ignore_errors=True)
 t0 = time.time()
-out = run_pipeline(spark, sf_dir, work, repartition=64, replicate=rep)
+from vanna_financial_knowledge_graph_spark.plans.pipeline import PipelineRun
+r = PipelineRun(spark, sf_dir, work, repartition=64, replicate=rep)
+out = r.run()
 n_docs = out["docs"].count()
 n_facts = out["facts"].count()
 sec = time.time() - t0
-print("CHILD_RESULT " + json.dumps({"cpus": cpus, "sec": sec, "docs": n_docs, "facts": n_facts}))
+print("CHILD_RESULT " + json.dumps({
+    "cpus": cpus, "sec": sec, "docs": n_docs, "facts": n_facts,
+    "stages": {k: v["sec"] for k, v in r.stage_stats.items()},
+}))
 """
 
 # corpus multiplier: sizes the job so per-task compute dominates fixed
@@ -77,6 +82,7 @@ def main() -> int:
             r = run_level(cpus, sf_dir, f"r{i}")
             print(f"  local[{cpus}] run {i}: {r['sec']:.1f}s "
                   f"({r['docs']/r['sec']:.1f} docs/s)", flush=True)
+            print(f"    stages: {json.dumps(r.get('stages', {}))}", flush=True)
             if cpus not in results or r["sec"] < results[cpus]["sec"]:
                 results[cpus] = r
 

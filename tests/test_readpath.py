@@ -160,3 +160,57 @@ def test_paginate_matches_offset_limit(spark):
     )
     got = [r["k"] for r in R.paginate(df, "name", limit=10, offset=20).collect()]
     assert got == list(range(20, 30))
+
+
+def test_topic_hierarchy_and_namespace(spark):
+    from vanna_financial_knowledge_graph_spark.gazetteer import ontology_rows
+    from vanna_financial_knowledge_graph_spark.operators.assemble import (
+        ONTOLOGY_GROUP_ID,
+        ontology_topics,
+    )
+
+    rows = ontology_rows()
+    by_label = {r["label"]: r for r in rows}
+    # every parent_label is itself a topic, and roots have no parent
+    for r in rows:
+        if r["parent_label"]:
+            assert r["parent_label"] in by_label
+            assert by_label[r["parent_label"]]["parent_label"] is None
+            assert r["parent_uuid"] == by_label[r["parent_label"]]["topic_uuid"]
+    assert by_label["Inflation"]["parent_label"] == "Macroeconomics"
+
+    onto = ontology_topics(spark)
+    assert onto.count() == len(rows)
+    assert {r["group_id"] for r in onto.select("group_id").distinct().collect()} == {
+        ONTOLOGY_GROUP_ID
+    }
+
+
+def test_topic_parent_rollup(spark):
+    topics = spark.createDataFrame(
+        [
+            ("t1", "Inflation", "", "", "p1", "Macroeconomics", "default"),
+            ("t2", "GDP", "", "", "p1", "Macroeconomics", "default"),
+            ("t3", "Earnings", "", "", "p2", "Corporate Finance", "default"),
+            ("p1", "Macroeconomics", "", "", None, None, "default"),
+        ],
+        "uuid string, name string, definition string, uri string, "
+        "parent_uuid string, parent_name string, group_id string",
+    )
+    rels = spark.createDataFrame(
+        [
+            ("r1", "e1", "entity", "t1", "topic", "R", "c1", "f1", "", "", "default"),
+            ("r2", "e1", "entity", "t2", "topic", "R", "c1", "f2", "", "", "default"),
+            ("r3", "e1", "entity", "t3", "topic", "R", "c1", "f3", "", "", "default"),
+            ("r4", "e1", "entity", "p1", "topic", "R", "c1", "f4", "", "", "default"),
+            ("r5", "e1", "entity", "e2", "entity", "R", "c1", "f5", "", "", "default"),
+        ],
+        "id string, from_uuid string, from_type string, to_uuid string, "
+        "to_type string, rel_type string, chunk_uuid string, fact_id string, "
+        "description string, date_context string, group_id string",
+    )
+    got = {
+        r["root_topic"]: (r["n_fact_edges"], r["n_topics"])
+        for r in R.topic_parent_rollup(topics, rels).collect()
+    }
+    assert got == {"Macroeconomics": (3, 3), "Corporate Finance": (1, 1)}

@@ -43,10 +43,34 @@ def embed_text(text: str, dim: int = EMBED_DIM) -> list[float]:
 
 def embed_batch(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
     """Batched embedding (U3): (len(texts), dim) float32, rows L2-normalized.
-    Zero vectors (empty/whitespace text) stay zero."""
-    out = np.zeros((len(texts), dim), dtype=np.float64)
-    for i, t in enumerate(texts):
-        out[i] = _accumulate(t, dim)
+    Zero vectors (empty/whitespace text) stay zero.
+
+    Vectorized: tokens across the whole batch are factorized so crc32 runs
+    once per UNIQUE token (Zipf: a tiny fraction of occurrences), then one
+    NumPy scatter-add builds every row. Identical output to embed_text per
+    row (tests/test_embed.py::test_embed_batch_matches_single)."""
+    import itertools
+
+    import pandas as pd
+
+    n = len(texts)
+    tok_lists = [(t or "").lower().split() for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    out = np.zeros((n, dim), dtype=np.float64)
+    if total:
+        all_toks = np.fromiter(
+            itertools.chain.from_iterable(tok_lists), dtype=object, count=total
+        )
+        codes, uniques = pd.factorize(all_toks)
+        u_idx = np.empty(len(uniques), dtype=np.int64)
+        u_sign = np.empty(len(uniques), dtype=np.float64)
+        for i, tok in enumerate(uniques):
+            h = zlib.crc32(tok.encode("utf-8"))
+            u_idx[i] = h % dim
+            u_sign[i] = 1.0 if (h >> 16) & 1 else -1.0
+        rows = np.repeat(np.arange(n), lens)
+        np.add.at(out, (rows, u_idx[codes]), u_sign[codes])
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     np.divide(out, norms, out=out, where=norms > 0.0)
     return out.astype(np.float32)

@@ -257,7 +257,51 @@ _T = [
     ("Productivity", "Output produced per unit of input", ["labor productivity", "efficiency gains"]),
     ("Tourism", "Travel industry and visitor economy", ["travel demand", "hospitality", "visitor spending", "leisure travel"]),
     ("Agriculture", "Farming and food production sector", ["farm sector", "crop prices", "farming"]),
+    # root topics of the two-level hierarchy (Topic.parent_topic,
+    # reference types/topics.py:18-35). Kept synonym-free so adding the
+    # hierarchy does not perturb mention matching.
+    ("Macroeconomics", "Economy-wide conditions: growth, prices, employment", []),
+    ("Corporate Finance", "Company-level financial performance and actions", []),
+    ("Financial Markets", "Markets for securities, commodities and currencies", []),
+    ("Industry Sectors", "Conditions in specific industries", []),
+    ("Policy and Regulation", "Government and central-bank rules and actions", []),
 ]
+
+# child label -> parent label (two-level ontology; unlisted labels are roots)
+_T_PARENT = {
+    "Inflation": "Macroeconomics", "Deflation": "Macroeconomics",
+    "GDP": "Macroeconomics", "Unemployment": "Macroeconomics",
+    "Employment": "Macroeconomics", "Labor Market": "Macroeconomics",
+    "Wage Growth": "Macroeconomics", "Consumer Spending": "Macroeconomics",
+    "Trade": "Macroeconomics", "Recession": "Macroeconomics",
+    "Productivity": "Macroeconomics", "Credit Conditions": "Macroeconomics",
+    "Earnings": "Corporate Finance", "Revenue": "Corporate Finance",
+    "Guidance": "Corporate Finance",
+    "Mergers and Acquisitions": "Corporate Finance",
+    "Initial Public Offering": "Corporate Finance",
+    "Dividends": "Corporate Finance", "Share Buybacks": "Corporate Finance",
+    "Bankruptcy": "Corporate Finance", "Venture Capital": "Corporate Finance",
+    "Stock Market": "Financial Markets", "Bond Market": "Financial Markets",
+    "Commodities": "Financial Markets", "Oil Prices": "Financial Markets",
+    "Gold": "Financial Markets", "Cryptocurrency": "Financial Markets",
+    "Housing Market": "Industry Sectors",
+    "Commercial Real Estate": "Industry Sectors",
+    "Manufacturing": "Industry Sectors", "Supply Chain": "Industry Sectors",
+    "Artificial Intelligence": "Industry Sectors",
+    "Cloud Computing": "Industry Sectors",
+    "Semiconductors": "Industry Sectors",
+    "Electric Vehicles": "Industry Sectors",
+    "Renewable Energy": "Industry Sectors",
+    "Cybersecurity": "Industry Sectors",
+    "Banking Sector": "Industry Sectors", "Tourism": "Industry Sectors",
+    "Agriculture": "Industry Sectors",
+    "Interest Rates": "Policy and Regulation",
+    "Monetary Policy": "Policy and Regulation",
+    "Fiscal Policy": "Policy and Regulation",
+    "Tariffs": "Policy and Regulation",
+    "Regulation": "Policy and Regulation",
+    "Antitrust": "Policy and Regulation",
+}
 
 
 def registry_rows() -> list[dict]:
@@ -280,12 +324,14 @@ def registry_rows() -> list[dict]:
 
 
 def ontology_rows() -> list[dict]:
-    """Topic ontology rows with deterministic uuids (uri last segment)."""
+    """Topic ontology rows with deterministic uuids (uri last segment) and
+    a two-level parent hierarchy (Topic.parent_topic, types/topics.py)."""
     from .functions.textops import stable_id
 
     rows = []
     for label, definition, synonyms in _T:
         seg = label.replace(" ", "")
+        parent = _T_PARENT.get(label)
         rows.append(
             {
                 "topic_uuid": stable_id("topic", seg),
@@ -293,6 +339,10 @@ def ontology_rows() -> list[dict]:
                 "label": label,
                 "definition": definition,
                 "synonyms": list(synonyms),
+                "parent_label": parent,
+                "parent_uuid": (
+                    stable_id("topic", parent.replace(" ", "")) if parent else None
+                ),
             }
         )
     return rows

@@ -25,18 +25,43 @@ from ..gazetteer import ontology_rows
 GROUP_ID = "default"
 
 
+ONTOLOGY_GROUP_ID = "ontology"  # reference namespace filter, topic_resolver.py:357-369
+
+
 def ontology_df(spark: SparkSession) -> DataFrame:
     rows = [
-        (t["topic_uuid"], t["label"], t["definition"], t["uri"], s)
+        (
+            t["topic_uuid"], t["label"], t["definition"], t["uri"],
+            t["parent_uuid"], t["parent_label"], s,
+        )
         for t in ontology_rows()
         for s in [t["label"], *t["synonyms"]]
     ]
     from ..functions.textops import norm_name
 
-    rows = [(u, lb, d, uri, norm_name(s)) for (u, lb, d, uri, s) in rows]
+    rows = [r[:-1] + (norm_name(r[-1]),) for r in rows]
     return spark.createDataFrame(
-        rows, "topic_uuid string, label string, definition string, uri string, surface_norm string"
+        rows,
+        "topic_uuid string, label string, definition string, uri string, "
+        "parent_uuid string, parent_label string, surface_norm string",
     ).dropDuplicates(["surface_norm"])
+
+
+def ontology_topics(spark: SparkSession) -> DataFrame:
+    """The FULL ontology as topic vertex rows under the reserved
+    group_id='ontology' namespace — the reference stores the ontology in the
+    same topics table behind this tenant filter (topic_resolver.py:357-369),
+    so P1 group_id predicates separate corpus topics from ontology rows."""
+    from ..schemas import TOPICS
+
+    rows = [
+        (
+            t["topic_uuid"], t["label"], t["definition"], t["uri"],
+            t["parent_uuid"], t["parent_label"], ONTOLOGY_GROUP_ID,
+        )
+        for t in ontology_rows()
+    ]
+    return spark.createDataFrame(rows, TOPICS)
 
 
 def build_topics(
@@ -58,6 +83,8 @@ def build_topics(
             F.col("label").alias("name"),
             "definition",
             "uri",
+            "parent_uuid",
+            F.col("parent_label").alias("parent_name"),
             F.lit(group_id).alias("group_id"),
         )
         .dropDuplicates(["uuid"])

@@ -156,6 +156,31 @@ def topic_one_hop_chunks(
     )
 
 
+def topic_parent_rollup(
+    topics: DataFrame, relationships: DataFrame, group_id: str = "default"
+) -> DataFrame:
+    """Hierarchical aggregation over the topic ontology: fact-edge counts
+    per ROOT topic (children roll up to their parent_name; roots stand for
+    themselves). The topic dimension broadcasts; only edges shuffle —
+    by root key, a handful of groups."""
+    t = topics.where(F.col("group_id") == group_id).select(
+        F.col("uuid").alias("tuuid"),
+        F.coalesce("parent_name", "name").alias("root_topic"),
+    )
+    r = relationships.where(
+        (F.col("group_id") == group_id) & (F.col("to_type") == "topic")
+    )
+    return (
+        r.join(F.broadcast(t), r["to_uuid"] == F.col("tuuid"))
+        .groupBy("root_topic")
+        .agg(
+            F.count(F.lit(1)).alias("n_fact_edges"),
+            F.countDistinct("tuuid").alias("n_topics"),
+        )
+        .orderBy(F.desc("n_fact_edges"), "root_topic")
+    )
+
+
 def kg_stats(tables: dict[str, DataFrame], group_id: str = "default") -> DataFrame:
     """Per-table row counts (A1, queries.py:639-669)."""
     parts = []

@@ -140,6 +140,9 @@ TOPICS = T.StructType(
         T.StructField("name", T.StringType(), False),
         T.StructField("definition", T.StringType(), True),
         T.StructField("uri", T.StringType(), True),
+        # two-level hierarchy (reference Topic.parent_topic, types/topics.py)
+        T.StructField("parent_uuid", T.StringType(), True),
+        T.StructField("parent_name", T.StringType(), True),
         T.StructField("group_id", T.StringType(), False),
     ]
 )

@@ -169,21 +169,22 @@ def dedupe_pages(pages, keep: str = "latest"):
     """Collapse duplicate urls (FIXTURES.md §1 edge case: the same url can
     appear in multiple crawl partitions). keep='latest' retains the row with
     the max warc_ts (ties broken by text to stay deterministic); 'earliest'
-    the min. One shuffle keyed by url — at 100TB this is the standard
-    crawl-dedup exchange and is skew-free (url hash keys)."""
-    from pyspark.sql import Window
+    the min.
+
+    Expressed as groupBy(url).max_by/min_by rather than a row_number window:
+    a hash aggregate gets map-side partial aggregation, so duplicate urls
+    collapse inside each input partition BEFORE the exchange and the shuffle
+    carries ~one row per distinct url — a window would shuffle every
+    duplicate's full row (html included). Skew-free (url hash keys)."""
     from pyspark.sql import functions as F
 
-    order = (
-        [F.desc("warc_ts"), F.desc("text")]
-        if keep == "latest"
-        else [F.asc("warc_ts"), F.asc("text")]
-    )
-    w = Window.partitionBy("url").orderBy(*order)
+    cols = pages.columns
+    orderer = F.struct(F.col("warc_ts"), F.col("text"))
+    picker = F.max_by if keep == "latest" else F.min_by
     return (
-        pages.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        pages.groupBy("url")
+        .agg(picker(F.struct(*cols), orderer).alias("_r"))
+        .select("_r.*")
     )
 
 
