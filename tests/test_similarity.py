@@ -79,3 +79,40 @@ def test_self_excluded(emb):
     )
     got = S.brute_force_topk(df, queries, k=80)
     assert got.where(F.col("vec_id") == 3).count() == 0
+
+
+def test_lsh_topk_recall_planted_clusters(spark):
+    """Recall check for the LSH path: tight planted clusters (cosine ~0.99
+    within, ~orthogonal across) must be retrieved for every query — cluster
+    members share the query's bucket because sign-random-projection is
+    locality-sensitive, and the in-bucket re-rank is exact. Deterministic
+    (seeded hyperplanes, fixed inputs)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim, n_clusters, per = 64, 6, 8
+    rows = []
+    vid = 0
+    truth = {}  # query vec_id -> set of same-cluster ids
+    for c in range(n_clusters):
+        center = rng.randn(dim)
+        center /= np.linalg.norm(center)
+        ids = list(range(vid, vid + per))
+        for i in ids:
+            v = center + 0.02 * rng.randn(dim)
+            rows.append((i, [float(x) for x in v]))
+        truth[ids[0]] = set(ids[1:])
+        vid += per
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id").isin(list(truth))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = S.lsh_topk(df, queries, k=per - 1, dim=dim, n_planes=6)
+    hits: dict[int, set] = {}
+    for r in got.collect():
+        hits.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(hits.get(q, set()) & members) / len(members)
+        for q, members in truth.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls

@@ -41,3 +41,58 @@ def test_available_now_incremental(spark, kg, tmp_path):
     q3 = incremental_chunks(spark, pages_dir, out_dir, ckpt)
     q3.awaitTermination()
     assert spark.read.parquet(out_dir).count() == n2
+
+
+def test_streaming_stateful_url_dedup(spark, tmp_path):
+    import datetime as dt
+
+    from vanna_financial_knowledge_graph_spark.streaming.stream import (
+        incremental_deduped_chunks,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")
+    body = "<h1>T</h1><p>" + "Apple Inc. reported strong earnings today. " * 3 + "</p>"
+    rows = [
+        ("u1", dt.datetime(2025, 6, 1, 10), body.encode(), "x", "en"),
+        ("u1", dt.datetime(2025, 6, 1, 11), body.encode(), "x", "en"),  # recrawl
+        ("u2", dt.datetime(2025, 6, 1, 10), body.encode(), "x", "en"),
+    ]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.parquet(pages_dir)
+    q = incremental_deduped_chunks(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    # one chunk set per distinct url: the recrawl of u1 was dropped by state
+    assert out.select("url").distinct().count() == 2
+    assert out.groupBy("url").count().where("count > 1").count() == 0
+
+
+def test_streaming_windowed_stats(spark, tmp_path):
+    import datetime as dt
+
+    from vanna_financial_knowledge_graph_spark.streaming.stream import (
+        streaming_crawl_stats,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        (f"u{i}", dt.datetime(2025, 6, 1, 10, 5 * i), b"<p>x</p>", "x", lang)
+        for i, lang in enumerate(["en", "en", "es", "en"])
+    ] + [("u9", dt.datetime(2025, 6, 1, 23, 0), b"<p>x</p>", "x", "en")]
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).write.parquet(pages_dir)
+    q = streaming_crawl_stats(spark, pages_dir, out_dir, ckpt)
+    q.awaitTermination()
+    got = {
+        (str(r["window_start"]), r["lang"]): r["n_pages"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the 23:00 page advanced the watermark past 10:00-11:00, finalizing it
+    assert got.get(("2025-06-01 10:00:00", "en")) == 3
+    assert got.get(("2025-06-01 10:00:00", "es")) == 1

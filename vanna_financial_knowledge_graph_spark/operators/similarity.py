@@ -92,21 +92,44 @@ def lsh_topk(
     k: int = 10,
     dim: int = 64,
     n_planes: int = 8,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: only candidates sharing the query's LSH bucket are
-    scored exactly. At 100TB the bucket join replaces the full scan."""
+    """Approximate top-k via multi-probe LSH (Lv et al., VLDB'07 shape):
+    the query side probes its own bucket PLUS every bucket within
+    probe_hamming bit flips — a near-neighbor that lands just across one
+    hyperplane is still found, which single-probe LSH misses for points
+    near a boundary (recall asserted by
+    tests/test_similarity.py::test_lsh_topk_recall_planted_clusters).
+    Probing multiplies only the tiny broadcast query side (x (1+n_planes)
+    at hamming 1); the corpus keeps one bucket per vector and never
+    rescans. At 100TB the bucket join replaces the full scan."""
     corpus_b = lsh_bucketize(embeddings, dim, n_planes)
     q_b = lsh_bucketize(
         queries.select(F.col("query_id"), F.col("q_emb").alias("embedding")),
         dim,
         n_planes,
-    ).select(
-        F.col("query_id"), F.col("embedding").alias("emb_q"), F.col("bucket")
+    )
+    probes = [F.col("bucket")]
+    if probe_hamming >= 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+    if probe_hamming >= 2:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit((1 << p) | (1 << q)))
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        ]
+    q_probed = q_b.select(
+        F.col("query_id"),
+        F.col("embedding").alias("emb_q"),
+        F.explode(F.array(*probes)).alias("bucket"),
     )
     scored = (
         corpus_b.select("vec_id", F.col("embedding").alias("emb_c"), "bucket")
-        .join(F.broadcast(q_b), "bucket")
+        .join(F.broadcast(q_probed), "bucket")
         .where(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
         .withColumn("cosine", cosine_expr("emb_c", "emb_q"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))

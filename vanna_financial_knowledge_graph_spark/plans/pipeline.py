@@ -174,6 +174,22 @@ class PipelineRun:
 
     # -- the DAG -----------------------------------------------------------
 
+    def _parallel(self, jobs: dict[str, callable]) -> dict[str, DataFrame]:
+        """Run independent stages concurrently (driver threads submitting
+        concurrent Spark jobs, FIFO-scheduled). Per-stage fixed costs —
+        job setup, parquet commit, manifest/footer IO — overlap instead of
+        serializing, exactly like a DAG scheduler dispatching ready nodes;
+        this is what keeps scaling efficiency from being eaten by 13
+        sequential stage commits."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(jobs) == 1:
+            name, fn = next(iter(jobs.items()))
+            return {name: fn()}
+        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            futs = {name: ex.submit(fn) for name, fn in jobs.items()}
+            return {name: f.result() for name, f in futs.items()}
+
     def run(self) -> dict[str, DataFrame]:
         spark, gid = self.spark, self.group_id
 
@@ -198,58 +214,102 @@ class PipelineRun:
         extracted = self._run_stage(
             "extracted", ["pages"], lambda: extract_pages_text(pages)
         )
-        docs = self._run_stage("docs", ["extracted"], lambda: build_docs(extracted, gid))
         # fused ingest kernel over the ALREADY-extracted text: ONE Arrow
         # crossing produces chunk+mention+fact rows, and extract_text (the
         # dominant Python cost) runs exactly once in the whole DAG — in the
         # extracted stage, which doubles as the byte-identity branch. The
-        # three tables below are column-pruned JVM-side selects/explodes.
-        annotations = self._run_stage(
-            "annotations",
-            ["extracted"],
-            lambda: build_annotations(spark, extracted, gid),
+        # chunks/mentions/facts_raw tables are column-pruned JVM-side
+        # selects/explodes of the one annotations table.
+        #
+        # Independent stages run as parallel groups (see _parallel): the DAG
+        # below dispatches each ready frontier concurrently.
+        g1 = self._parallel(
+            {
+                "docs": lambda: self._run_stage(
+                    "docs", ["extracted"], lambda: build_docs(extracted, gid)
+                ),
+                "annotations": lambda: self._run_stage(
+                    "annotations",
+                    ["extracted"],
+                    lambda: build_annotations(spark, extracted, gid),
+                ),
+            }
         )
-        chunks = self._run_stage(
-            "chunks", ["annotations"], lambda: chunks_from_annotations(annotations)
+        docs, annotations = g1["docs"], g1["annotations"]
+        g2 = self._parallel(
+            {
+                "chunks": lambda: self._run_stage(
+                    "chunks",
+                    ["annotations"],
+                    lambda: chunks_from_annotations(annotations),
+                ),
+                "mentions": lambda: self._run_stage(
+                    "mentions",
+                    ["annotations"],
+                    lambda: mentions_from_annotations(annotations),
+                ),
+                "facts_raw": lambda: self._run_stage(
+                    "facts_raw",
+                    ["annotations"],
+                    lambda: facts_raw_from_annotations(annotations),
+                ),
+            }
         )
-        mentions = self._run_stage(
-            "mentions",
-            ["annotations"],
-            lambda: mentions_from_annotations(annotations),
-        )
-        facts_raw = self._run_stage(
-            "facts_raw",
-            ["annotations"],
-            lambda: facts_raw_from_annotations(annotations),
-        )
+        chunks, mentions, facts_raw = g2["chunks"], g2["mentions"], g2["facts_raw"]
         # dimension-sized outputs: coalesce so we don't write 64 tiny files
-        canonical_map = self._run_stage(
-            "canonical_map",
-            ["mentions"],
-            lambda: build_canonical_map(spark, mentions, gid).coalesce(8),
+        g3 = self._parallel(
+            {
+                "canonical_map": lambda: self._run_stage(
+                    "canonical_map",
+                    ["mentions"],
+                    lambda: build_canonical_map(spark, mentions, gid).coalesce(8),
+                ),
+                "topics": lambda: self._run_stage(
+                    "topics",
+                    ["mentions"],
+                    lambda: build_topics(spark, mentions, gid).coalesce(1),
+                ),
+            }
         )
-        entities = self._run_stage(
-            "entities",
-            ["canonical_map", "mentions"],
-            lambda: build_entities(spark, canonical_map, mentions, gid).coalesce(4),
+        canonical_map, topics = g3["canonical_map"], g3["topics"]
+        g4 = self._parallel(
+            {
+                "entities": lambda: self._run_stage(
+                    "entities",
+                    ["canonical_map", "mentions"],
+                    lambda: build_entities(
+                        spark, canonical_map, mentions, gid
+                    ).coalesce(4),
+                ),
+                "facts": lambda: self._run_stage(
+                    "facts",
+                    ["facts_raw", "canonical_map"],
+                    lambda: link_facts(spark, facts_raw, canonical_map, gid),
+                ),
+            }
         )
-        topics = self._run_stage(
-            "topics", ["mentions"], lambda: build_topics(spark, mentions, gid).coalesce(1)
+        entities, facts = g4["entities"], g4["facts"]
+        g5 = self._parallel(
+            {
+                "relationships": lambda: self._run_stage(
+                    "relationships",
+                    ["facts"],
+                    lambda: build_relationships(facts, gid),
+                ),
+                # per-kind vector index rows (reference: LanceDB per-table
+                # indices)
+                "vectors": lambda: self._run_stage(
+                    "vectors",
+                    ["chunks", "entities", "facts"],
+                    lambda: build_vectors(chunks, entities, facts),
+                ),
+            }
         )
-        facts = self._run_stage(
-            "facts",
-            ["facts_raw", "canonical_map"],
-            lambda: link_facts(spark, facts_raw, canonical_map, gid),
-        )
-        relationships = self._run_stage(
-            "relationships", ["facts"], lambda: build_relationships(facts, gid)
-        )
-        # per-kind vector index rows (reference: LanceDB indices per table)
-        vectors = self._run_stage(
-            "vectors",
-            ["chunks", "entities", "facts"],
-            lambda: build_vectors(chunks, entities, facts),
-        )
+        relationships, vectors = g5["relationships"], g5["vectors"]
+        # threaded groups append out of order; normalize to STAGES order so
+        # executed/skipped read deterministically
+        self.executed = [s for s in STAGES if s in set(self.executed)]
+        self.skipped = [s for s in STAGES if s in set(self.skipped)]
         return {
             "pages": pages,
             "extracted": extracted,

@@ -59,6 +59,15 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # make the JVM actually BE an n-core machine: without this, a
+        # local[2] session on a 32-vCPU host still sizes GC worker threads,
+        # JIT compiler threads and IO pools from the 32 host CPUs — i.e. a
+        # "2-core cluster" borrowing 30 cores of background work, which
+        # corrupts any N vs 4N scaling comparison
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={n}",
+        )
         # zstd everywhere (same choice as the reference's parquet backend):
         # html/text columns compress 3-5x, and this sandbox's virtio disk is
         # throttled — fewer bytes written is the single biggest stabilizer

@@ -43,3 +43,69 @@ def incremental_chunks(
         .outputMode("append")
         .start()
     )
+
+
+def incremental_deduped_chunks(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "24 hours",
+):
+    """Streaming url-dedup ingest: the stateful twin of sources.pages.
+    dedupe_pages. `withWatermark + dropDuplicates(["url"])` is Spark's
+    built-in stateful dedup operator — a recrawl of an already-seen url
+    within the watermark horizon is dropped from the stream, and state for
+    urls older than the watermark ages out, so state size stays bounded at
+    crawl scale instead of growing with the full 10^12-url history."""
+    pages = (
+        spark.readStream.schema(PAGES).format("parquet").load(pages_dir)
+    )
+    deduped = pages.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
+    chunks = build_chunks(extract_pages_text(deduped))
+    return (
+        chunks.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
+def streaming_crawl_stats(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Watermarked windowed aggregation over the crawl stream: pages per
+    (event-time window, lang). Late pages within the watermark revise their
+    window; windows older than the watermark finalize and emit (append
+    mode), bounding aggregation state — the standard late-data pattern."""
+    from pyspark.sql import functions as F
+
+    pages = (
+        spark.readStream.schema(PAGES).format("parquet").load(pages_dir)
+    )
+    stats = (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "lang",
+            "n_pages",
+        )
+    )
+    return (
+        stats.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
