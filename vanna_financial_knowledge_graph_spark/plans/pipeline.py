@@ -175,20 +175,19 @@ class PipelineRun:
     # -- the DAG -----------------------------------------------------------
 
     def _parallel(self, jobs: dict[str, callable]) -> dict[str, DataFrame]:
-        """Run independent stages concurrently (driver threads submitting
-        concurrent Spark jobs, FIFO-scheduled). Per-stage fixed costs —
-        job setup, parquet commit, manifest/footer IO — overlap instead of
-        serializing, exactly like a DAG scheduler dispatching ready nodes;
-        this is what keeps scaling efficiency from being eaten by 13
-        sequential stage commits."""
-        from concurrent.futures import ThreadPoolExecutor
+        """Run a ready frontier of independent stages.
 
-        if len(jobs) == 1:
-            name, fn = next(iter(jobs.items()))
-            return {name: fn()}
-        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
-            futs = {name: ex.submit(fn) for name, fn in jobs.items()}
-            return {name: f.result() for name, f in futs.items()}
+        The grouping documents the dependency DAG (each dict is a frontier
+        a cluster scheduler could dispatch concurrently). On THIS host the
+        concurrent variant (driver threads submitting simultaneous Spark
+        jobs) was measured a clear net loss — e.g. the chunks/mentions/
+        facts_raw frontier took 23s wall concurrent vs 12s sequential at
+        local[8], and the relationships/vectors frontier 75s vs 19s:
+        simultaneous scans of the same parquet plus overlapping zstd writes
+        thrash a single-JVM local mode. Sequential dispatch is therefore
+        deliberate; on a real multi-executor cluster with idle slots,
+        swapping this loop for a ThreadPoolExecutor is a one-line change."""
+        return {name: fn() for name, fn in jobs.items()}
 
     def run(self) -> dict[str, DataFrame]:
         spark, gid = self.spark, self.group_id
