@@ -45,11 +45,17 @@ def with_embedding(
 
 
 def build_vectors(
-    chunks: DataFrame, entities: DataFrame, facts: DataFrame
+    chunks: DataFrame,
+    entities: DataFrame,
+    facts: DataFrame,
+    width: int | None = None,
 ) -> DataFrame:
     """Unified vector table (kind, uuid, text, embedding, group_id) — the
     Spark equivalent of the reference's per-kind LanceDB indices. One row
-    per chunk (content), entity (name + summary), and fact (content)."""
+    per chunk (content), entity (name + summary), and fact (content).
+    `width` re-fans the unioned text before the embedding UDF: upstream
+    file layouts (few dense row groups) would otherwise cap the CPU-bound
+    encode at their file count."""
     parts = [
         chunks.select(
             F.lit("chunk").alias("kind"),
@@ -73,6 +79,8 @@ def build_vectors(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if width:
+        out = out.repartition(width, "uuid")
     return with_embedding(out, "text").drop("text")
 
 

@@ -210,8 +210,18 @@ class PipelineRun:
             _pages,
             params=f"{self.repartition}|{self.replicate}|{self.dedup_urls}",
         )
+        # Width of the CPU-bound python stages. The parquet scans feeding
+        # them CANNOT deliver parallelism by themselves: AQE's 8MB advisory
+        # coalesces the url-dedup shuffle to ~16 dense output files, each a
+        # single (unsplittable) row group — so without an explicit re-fan,
+        # extract/annotate run 16-wide no matter how many cores exist, and
+        # scaling flatlines. One cheap exchange of the text buys exact,
+        # uniform width for ~100x its cost in downstream per-row CPU.
+        width = self.repartition or self.spark.sparkContext.defaultParallelism * 2
         extracted = self._run_stage(
-            "extracted", ["pages"], lambda: extract_pages_text(pages)
+            "extracted",
+            ["pages"],
+            lambda: extract_pages_text(pages.repartition(width, "url")),
         )
         # fused ingest kernel over the ALREADY-extracted text: ONE Arrow
         # crossing produces chunk+mention+fact rows, and extract_text (the
@@ -230,7 +240,9 @@ class PipelineRun:
                 "annotations": lambda: self._run_stage(
                     "annotations",
                     ["extracted"],
-                    lambda: build_annotations(spark, extracted, gid),
+                    lambda: build_annotations(
+                        spark, extracted.repartition(width, "url"), gid
+                    ),
                 ),
             }
         )
@@ -300,7 +312,7 @@ class PipelineRun:
                 "vectors": lambda: self._run_stage(
                     "vectors",
                     ["chunks", "entities", "facts"],
-                    lambda: build_vectors(chunks, entities, facts),
+                    lambda: build_vectors(chunks, entities, facts, width=width),
                 ),
             }
         )
