@@ -96,3 +96,72 @@ def test_no_cartesian_anywhere(spark, qname):
 
     p = _plan(e.queries()[qname](spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in p
+
+
+def test_two_stage_search_broadcasts_hit_set(spark, kg):
+    """Stage-2 re-rank joins the tiny hit set against fact vectors: no
+    SortMergeJoin of the big side, no cartesian (the only cross join is
+    vs the single-row broadcast query vector)."""
+    from vanna_financial_knowledge_graph_spark.operators.embed import (
+        two_stage_search,
+    )
+
+    p = _plan(
+        two_stage_search(
+            spark, kg["facts"], kg["vectors"], ["Apple Inc."], "earnings", k=5
+        )
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_context_build_no_cartesian_no_smj_on_chunks(spark, kg):
+    from vanna_financial_knowledge_graph_spark.operators.context import (
+        build_context,
+    )
+
+    p = _plan(
+        build_context(
+            spark, kg["entities"], kg["relationships"], kg["chunks"],
+            kg["vectors"], "Apple Inc.", "earnings",
+        )
+    )
+    assert "CartesianProduct" not in p
+    # every seed/neighbor/topic driver is dimension-sized and broadcast
+    assert p.count("BroadcastExchange") >= 3
+
+
+def test_vectors_kind_filter_pushed_to_scan(spark, kg):
+    """search over one kind must push the kind predicate into the parquet
+    scan of the vectors table."""
+    import pyspark.sql.functions as F
+
+    v = kg["vectors"].where(
+        (F.col("kind") == "entity") & (F.col("group_id") == "default")
+    )
+    p = _plan(v.select("uuid"))
+    assert "PushedFilters: [" in p and "EqualTo(kind,entity)" in p
+
+
+def test_embedding_stage_single_arrow_crossing(spark):
+    """with_embedding adds exactly one Python (Arrow) eval and no shuffle."""
+    from vanna_financial_knowledge_graph_spark.operators.embed import (
+        with_embedding,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = _plan(with_embedding(df, "text"))
+    assert p.count("ArrowEvalPython") == 1
+    assert "Exchange" not in p
+
+
+def test_merge_upsert_plan_shapes(spark):
+    """The anti-join side of MERGE must hash-join on the key, never BNLJ."""
+    from vanna_financial_knowledge_graph_spark.operators.upsert import (
+        merge_upsert,
+    )
+
+    t = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    u = t.limit(100)
+    p = _plan(merge_upsert(t, u, ["c_custkey"]))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
