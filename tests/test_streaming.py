@@ -96,3 +96,55 @@ def test_streaming_windowed_stats(spark, tmp_path):
     # the 23:00 page advanced the watermark past 10:00-11:00, finalizing it
     assert got.get(("2025-06-01 10:00:00", "en")) == 3
     assert got.get(("2025-06-01 10:00:00", "es")) == 1
+
+
+def test_stateful_running_entity_counts(spark, tmp_path):
+    """applyInPandasWithState: per-entity counts accumulate in keyed state
+    across micro-batches AND across a query restart from the checkpoint."""
+    from vanna_financial_knowledge_graph_spark.streaming.stream import (
+        running_entity_counts,
+    )
+
+    mdir = str(tmp_path / "mentions")
+    ckpt = str(tmp_path / "ckpt")
+
+    def mention_rows(n_apple, n_tesla, tag):
+        rows = [
+            (f"c{tag}{i}", f"d{tag}", "Apple Inc.", "apple inc.", "entity",
+             None, "company", 0, 5, "default")
+            for i in range(n_apple)
+        ] + [
+            (f"t{tag}{i}", f"d{tag}", "Tesla", "tesla", "entity",
+             None, "company", 0, 5, "default")
+            for i in range(n_tesla)
+        ]
+        from vanna_financial_knowledge_graph_spark.schemas import MENTIONS
+
+        return spark.createDataFrame(rows, MENTIONS)
+
+    odir = str(tmp_path / "counts")
+
+    def latest():
+        import pyspark.sql.functions as F
+
+        return {
+            r["name_norm"]: r["mx"]
+            for r in spark.read.parquet(odir)
+            .groupBy("name_norm")
+            .agg(F.max("n_mentions").alias("mx"))
+            .collect()
+        }
+
+    mention_rows(2, 1, "a").coalesce(1).write.mode("append").parquet(mdir)
+    q = running_entity_counts(spark, mdir, odir, ckpt)
+    q.awaitTermination()
+    got1 = latest()
+    assert got1["apple inc."] == 2 and got1["tesla"] == 1
+
+    # second tranche lands; a NEW query resumes state from the checkpoint
+    mention_rows(3, 0, "b").coalesce(1).write.mode("append").parquet(mdir)
+    q2 = running_entity_counts(spark, mdir, odir, ckpt)
+    q2.awaitTermination()
+    got2 = latest()
+    assert got2["apple inc."] == 5  # 2 carried in state + 3 new
+    assert got2["tesla"] == 1

@@ -73,6 +73,65 @@ def incremental_deduped_chunks(
     )
 
 
+def running_entity_counts(
+    spark: SparkSession,
+    mentions_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-entity running mention count maintained in keyed state across
+    micro-batches (and across restarts via the checkpoint). The canonical
+    shape for custom aggregation state the built-in operators can't express
+    — swap the count for e.g. a per-entity sketch or decay score.
+
+    State is one long per distinct entity surface: bounded by the (small)
+    entity dimension, not the stream volume."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..schemas import MENTIONS
+
+    reader = spark.readStream.schema(MENTIONS).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    mentions = reader.load(mentions_dir)
+
+    def _update(key, pdfs, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"name_norm": [key[0]], "n_mentions": [total]})
+
+    counts = (
+        mentions.where("kind = 'entity'")
+        .groupBy("name_norm")
+        .applyInPandasWithState(
+            _update,
+            outputStructType="name_norm string, n_mentions long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    # foreachBatch: file sinks reject update mode, so each micro-batch's
+    # updated counts append as (name_norm, n_mentions) events — the current
+    # value per key is the max (counts are monotone). foreachBatch keeps
+    # full checkpoint recovery, unlike the memory sink.
+    def _write_batch(batch_df, batch_id: int):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        counts.writeStream.foreachBatch(_write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_crawl_stats(
     spark: SparkSession,
     pages_dir: str,
