@@ -96,3 +96,27 @@ def test_even_partition_conserves_items(items, maxp):
         sizes = [len(g) for g in groups]
         assert max(sizes) - min(sizes) <= 1  # even-split guarantee
         assert max(sizes) <= max(maxp, sizes[0])
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_embedding_total_deterministic_normalized(s):
+    import numpy as np
+
+    from vanna_financial_knowledge_graph_spark.functions.embedding import (
+        EMBED_DIM,
+        embed_batch,
+        embed_text,
+    )
+
+    v = embed_text(s)
+    assert len(v) == EMBED_DIM
+    assert v == embed_text(s)  # deterministic
+    n = float(np.linalg.norm(v))
+    assert n == 0.0 or abs(n - 1.0) < 1e-5  # unit or zero
+    # batch path agrees with the single path exactly
+    assert list(embed_batch([s])[0]) == v

@@ -99,8 +99,14 @@ def build_context(
     chunk_vecs = vectors.where(
         (F.col("kind") == "chunk") & (F.col("group_id") == group_id)
     ).select(F.col("uuid").alias("chunk_uuid"), "embedding")
-    scored_vecs = chunk_vecs.withColumn("emb_q", q_emb).withColumn(
-        "score", cosine_expr("embedding", "emb_q")
+    # scored once, consumed twice (global top-k + union-source scoring):
+    # localCheckpoint materializes the per-chunk scores so the cosine over
+    # the full chunk-vector table doesn't run twice in the final plan
+    scored_vecs = (
+        chunk_vecs.withColumn("emb_q", q_emb)
+        .withColumn("score", cosine_expr("embedding", "emb_q"))
+        .select("chunk_uuid", "score")
+        .localCheckpoint(eager=False)
     )
     src_global = (
         scored_vecs.orderBy(F.desc("score"), "chunk_uuid")
