@@ -459,6 +459,18 @@ def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(_docs_wide(spark, sf_dir), max_hamming=3)
 
 
+def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic Lloyd-refined coarse quantizer, nprobe cells
+    re-ranked exactly (the inverted-file scale path alongside LSH)."""
+    from vanna_financial_knowledge_graph_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+
+
 def lsh_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vanna_financial_knowledge_graph_spark.operators.similarity import lsh_topk
 
@@ -714,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": minhash_near_dup,
         "simhash_candidates": simhash_candidates,
         "lsh_topk_approx": lsh_topk_approx,
+        "ivf_topk_approx": ivf_topk_approx,
         "media_features_stub": media_features_stub,
         # KG pipeline (rows-only)
         "kg_triples": kg_triples,

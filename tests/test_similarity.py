@@ -116,3 +116,65 @@ def test_lsh_topk_recall_planted_clusters(spark):
         for q, members in truth.items()
     ]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_topk_recall_planted_clusters(spark):
+    """IVF with Lloyd-refined centroids: after training, planted clusters
+    land in coherent cells and nprobe probing retrieves the members."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    dim, n_clusters, per = 64, 6, 8
+    rows, truth, vid = [], {}, 0
+    for _ in range(n_clusters):
+        center = rng.randn(dim)
+        center /= np.linalg.norm(center)
+        ids = list(range(vid, vid + per))
+        for i in ids:
+            v = center + 0.02 * rng.randn(dim)
+            rows.append((i, [float(x) for x in v]))
+        truth[ids[0]] = set(ids[1:])
+        vid += per
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id").isin(list(truth))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = S.ivf_topk(df, queries, k=per - 1, dim=dim, n_centroids=8, nprobe=2)
+    hits: dict[int, set] = {}
+    for r in got.collect():
+        hits.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(hits.get(q, set()) & m) / len(m) for q, m in truth.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_deterministic(emb):
+    df, _ = emb
+    a = S.ivf_train(df, dim=16, n_centroids=4, iters=2)
+    b = S.ivf_train(df, dim=16, n_centroids=4, iters=2)
+    assert a == b
+    queries = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    r1 = sorted(map(str, S.ivf_topk(df, queries, k=5, dim=16, n_centroids=4).collect()))
+    r2 = sorted(map(str, S.ivf_topk(df, queries, k=5, dim=16, n_centroids=4).collect()))
+    assert r1 == r2
+
+
+def test_ivf_scores_exact_within_probe(emb):
+    """IVF only prunes candidates; surviving pairs score exactly."""
+    df, vecs = emb
+    import numpy as np
+
+    queries = df.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = S.ivf_topk(df, queries, k=5, dim=16, n_centroids=4, nprobe=2).collect()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    assert got
+    for r in got:
+        assert r["cosine"] == pytest.approx(
+            round(float(sims[r["query_id"]][r["vec_id"]]), 4), abs=2e-4
+        )

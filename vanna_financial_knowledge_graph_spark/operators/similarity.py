@@ -86,6 +86,135 @@ def lsh_bucketize(
     return embeddings.withColumn("bucket", bucket)
 
 
+def _centroid_scores(col_name: str, centroids: list[list[float]]):
+    """Array of cosine-proportional scores vs each (unit-norm) centroid —
+    plain dot products as JVM expressions, centroids baked as literals."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(col_name),
+                    F.array(*[F.lit(float(w)) for w in c]),
+                    lambda x, wc: x.cast("double") * wc,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+
+
+def _argmax_expr(scores_col):
+    """Index (0-based) of the max score; ties break to the lowest index.
+    NOTE the two-parameter transform lambda is DELIBERATE here: (element,
+    index) mode is exactly what argmax needs (cf. the unary-lambda warning
+    in dedup.minhash_signatures, where index mode was a bug)."""
+    pairs = F.transform(
+        scores_col, lambda s, i: F.struct(s.alias("s"), (-i).alias("ni"))
+    )
+    best = F.array_max(pairs)
+    return (-best["ni"]).cast("int")
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_centroids: int = 16,
+    iters: int = 2,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seeded random unit-vector init +
+    `iters` rounds of distributed Lloyd's. Per round, vectors assign to
+    their argmax-dot centroid JVM-side; the new centroid = mean vector per
+    cell, computed by exploding (cell, dim_idx, value) and aggregating —
+    only n_centroids x dim tiny rows ever reach the driver. At 10^12 rows
+    you train on a sample; assignment stays a full narrow map either way."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_centroids, dim)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    centroids = cents.tolist()
+    for _ in range(iters):
+        assigned = embeddings.select(
+            F.col("embedding"),
+            _argmax_expr(_centroid_scores("embedding", centroids)).alias("cell"),
+        )
+        dims = assigned.select(
+            "cell",
+            F.posexplode(F.col("embedding")).alias("dim_idx", "v"),
+        )
+        means = (
+            dims.groupBy("cell", "dim_idx")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]  # empty cells keep their centroid
+        acc: dict[int, list[float]] = {}
+        for r in means:
+            acc.setdefault(r["cell"], [0.0] * dim)[r["dim_idx"]] = r["m"]
+        for cell, vec in acc.items():
+            n = float(np.linalg.norm(vec))
+            new[cell] = [x / n for x in vec] if n > 0 else new[cell]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell (one narrow assignment map); each query probes its nprobe nearest
+    cells and re-ranks exactly inside them. The cell join replaces the full
+    scan — the classic inverted-file trade: recall grows with nprobe, cost
+    with nprobe/n_centroids of the corpus."""
+    centroids = ivf_train(embeddings, dim, n_centroids, iters, seed)
+    corpus = embeddings.select(
+        "vec_id",
+        F.col("embedding").alias("emb_c"),
+        _argmax_expr(_centroid_scores("embedding", centroids)).alias("cell"),
+    )
+    q_scores = _centroid_scores("q_emb", centroids)
+    # top-nprobe cells per query: sort (score, -idx) structs descending
+    probes = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    q_scores, lambda s, i: F.struct(s.alias("s"), (-i).alias("ni"))
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        "query_id",
+        F.col("q_emb").alias("emb_q"),
+        F.explode(F.transform(probes, lambda p: (-p["ni"]).cast("int"))).alias(
+            "cell"
+        ),
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("emb_c", "emb_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
