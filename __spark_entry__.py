@@ -451,6 +451,24 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(_docs_wide(spark, sf_dir), threshold=0.5)
 
 
+def dedup_collapse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal dedup: near-dup groups (MinHash pairs -> CC) collapse to
+    their min-id survivor; returns (kept_id, group_size)."""
+    from vanna_financial_knowledge_graph_spark.operators.dedup import (
+        dedup_collapse,
+        minhash_near_dups,
+    )
+
+    docs = _docs_wide(spark, sf_dir)
+    pairs = minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    _kept, mapping = dedup_collapse(docs, pairs)
+    return (
+        mapping.groupBy("kept_id")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .orderBy("kept_id")
+    )
+
+
 def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vanna_financial_knowledge_graph_spark.operators.dedup import simhash_near_dups
 
@@ -724,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_fast": emb_near_dup_fast,
         "merge_upsert_agg": merge_upsert_agg,
         "minhash_near_dup": minhash_near_dup,
+        "dedup_collapse_docs": dedup_collapse_docs,
         "simhash_candidates": simhash_candidates,
         "lsh_topk_approx": lsh_topk_approx,
         "ivf_topk_approx": ivf_topk_approx,

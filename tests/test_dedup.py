@@ -206,3 +206,21 @@ def test_minhash_slots_independent(spark):
     )
     sig = D.minhash_signatures(D.shingles(df), 32).first()["signature"]
     assert len(set(sig)) > 16
+
+
+def test_dedup_collapse_keeps_min_per_group(spark, docs):
+    """Terminal dedup step: near-dup groups collapse to their min-id doc."""
+    pairs = D.minhash_near_dups(docs, threshold=0.5).select("doc_a", "doc_b")
+    kept, mapping = D.dedup_collapse(docs, pairs)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    # docs 1,2,3,5 are all near-dups of each other -> survivor 1; 4 distinct
+    assert kept_ids == {1, 4}
+    m = {r["doc_id"]: r["kept_id"] for r in mapping.collect()}
+    assert m[2] == 1 and m[3] == 1 and m[5] == 1 and m[4] == 4
+    # numeric (not lexicographic) min survives even past 9 vs 10
+    big = spark.createDataFrame(
+        [(9, "same text here"), (10, "same text here")], "doc_id long, text string"
+    )
+    bpairs = spark.createDataFrame([(9, 10)], "doc_a long, doc_b long")
+    bkept, _ = D.dedup_collapse(big, bpairs)
+    assert {r["doc_id"] for r in bkept.collect()} == {9}

@@ -191,6 +191,52 @@ def minhash_near_dups(
     return jaccard_verify(pairs, sh, threshold).orderBy("doc_a", "doc_b")
 
 
+def dedup_collapse(
+    documents: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse near-duplicate groups to one canonical survivor each.
+
+    Near-dup pairs (doc_a, doc_b) union into groups via the same salted
+    connected-components machinery as entity canonicalization (component id
+    = min member by contract), so the kept doc per group IS the component
+    value — no extra reduction. Returns (deduplicated documents,
+    mapping(doc_id, kept_id)); docs in no pair survive trivially.
+
+    This is the terminal step of a training-data dedup pipeline: pair
+    generation bounds candidates (LSH buckets), verification is exact, and
+    the collapse is one CC over the (tiny) pair graph + one semi-join of
+    the full corpus against the kept-id set."""
+    from .canonicalize import connected_components
+
+    # CC keys are strings and component = lexicographic min: zero-pad the
+    # numeric ids so the lexicographic min IS the numeric min
+    def _key(c):
+        return F.lpad(F.col(c).cast("string"), 20, "0")
+
+    nodes = (
+        documents.select(_key(id_col).alias("node"))
+        .union(pairs.select(_key("doc_a").alias("node")))
+        .union(pairs.select(_key("doc_b").alias("node")))
+        .distinct()
+    )
+    edges = pairs.select(
+        _key("doc_a").alias("src"), _key("doc_b").alias("dst")
+    )
+    comp = connected_components(nodes, edges)
+    mapping = comp.select(
+        F.col("node").cast("long").alias(id_col),
+        F.col("component").cast("long").alias("kept_id"),
+    )
+    kept = documents.join(
+        F.broadcast(
+            mapping.where(F.col(id_col) == F.col("kept_id")).select(id_col)
+        ),
+        id_col,
+        "left_semi",
+    )
+    return kept, mapping
+
+
 # ---------------------------------------------------------------------------
 # SimHash (64-bit, Arrow-vectorized)
 # ---------------------------------------------------------------------------
