@@ -671,6 +671,25 @@ def kg_topic_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked embedding near-dup over the KG chunk vectors (templated
+    sentences produce genuinely near-identical chunks) — the scale
+    composition: lsh_bucketize blocks, NumPy GEMM scores, 4 tables union."""
+    from vanna_financial_knowledge_graph_spark.operators.dedup import (
+        embedding_near_dups_lsh,
+    )
+
+    v = _kg(spark, sf_dir)["vectors"]
+    chunk_vecs = v.where(F.col("kind") == "chunk").select(
+        F.xxhash64("uuid").alias("vec_id"), "embedding"
+    )
+    # 4 planes x 4 tables: wider buckets to keep recall high at the 0.9
+    # radius (θ≈0.45 rad) where this corpus's templated chunks live
+    return embedding_near_dups_lsh(
+        chunk_vecs, threshold=0.9, n_planes=4, tables=4
+    ).orderBy("id_a", "id_b")
+
+
 def kg_topic_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic parent hierarchy: fact edges rolled up to root topics, plus
     the ontology namespace rows (group_id='ontology') union-tagged."""
@@ -767,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_topic_chunks": kg_topic_chunks,
         "kg_topic_hierarchy": kg_topic_hierarchy,
         "kg_ontology_namespace": kg_ontology_namespace,
+        "kg_chunk_near_dup": kg_chunk_near_dup,
     }
 
 

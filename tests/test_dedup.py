@@ -224,3 +224,38 @@ def test_dedup_collapse_keeps_min_per_group(spark, docs):
     bpairs = spark.createDataFrame([(9, 10)], "doc_a long, doc_b long")
     bkept, _ = D.dedup_collapse(big, bpairs)
     assert {r["doc_id"] for r in bkept.collect()} == {9}
+
+
+def test_embedding_near_dups_lsh_recall(spark):
+    """Multi-table LSH blocking must recover (nearly) all true high-cosine
+    pairs found by an exact all-pairs computation. Deterministic seeds."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    dim, n_clusters, per = 64, 5, 6
+    rows, vid = [], 0
+    for _ in range(n_clusters):
+        c = rng.randn(dim)
+        c /= np.linalg.norm(c)
+        for _ in range(per):
+            v = c + 0.01 * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    M = np.stack([np.array(r[1]) for r in rows])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(range(vid), 2)
+        if S[a, b] >= 0.95
+    }
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_near_dups_lsh(df, threshold=0.95).collect()
+    }
+    assert got <= truth  # precision 1.0: every emitted pair verified exact
+    assert truth, "fixture planted no in-threshold pairs"
+    assert len(got & truth) / len(truth) >= 0.95, (len(got), len(truth))

