@@ -166,7 +166,9 @@ def two_stage_search(
     from .dedup import cosine_expr
 
     scored = (
-        hits.join(fact_vecs, "uuid")  # candidate set is tiny: broadcast side
+        # the overfetch*k hit set is tiny and broadcast EXPLICITLY: the fact
+        # vector index (the 100TB side) must never shuffle for a search
+        fact_vecs.join(F.broadcast(hits), "uuid")
         .crossJoin(q)
         .withColumn("cosine", cosine_expr("emb_c", "q_emb"))
         .select(
