@@ -626,6 +626,41 @@ def kg_entity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_topic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search over the TOPIC vector index (reference topics index
+    indices.py:449-477, searched by topic_resolver.py:357-369 and MCP find
+    mcp/server.py:259-331): a definition-phrased query retrieves topics."""
+    from vanna_financial_knowledge_graph_spark.operators.embed import search_topics
+
+    kg = _kg(spark, sf_dir)
+    return search_topics(
+        spark, kg["vectors"], kg["topics"],
+        "general increase in prices and fall in purchasing power", k=5,
+    )
+
+
+def kg_fact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_facts(text) over the fact vector index
+    (knowledge_graph.py:995-1061)."""
+    from vanna_financial_knowledge_graph_spark.operators.embed import search_kind
+
+    kg = _kg(spark, sf_dir)
+    return search_kind(
+        spark, kg["vectors"], "fact", "acquisition of a software company", k=10
+    ).orderBy("rank")
+
+
+def kg_chunk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_chunks(text) over the chunk vector index
+    (knowledge_graph.py:995-1061)."""
+    from vanna_financial_knowledge_graph_spark.operators.embed import search_kind
+
+    kg = _kg(spark, sf_dir)
+    return search_kind(
+        spark, kg["vectors"], "chunk", "quarterly earnings report", k=10
+    ).orderBy("rank")
+
+
 def kg_search_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MCP two-stage search: structured fact filter (3x over-fetch) ->
     cosine re-rank within the hit set (mcp/server.py:384-409)."""
@@ -781,6 +816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_byte_identity": kg_byte_identity,
         "kg_vectors": kg_vectors,
         "kg_entity_search": kg_entity_search,
+        "kg_topic_search": kg_topic_search,
+        "kg_fact_search": kg_fact_search,
+        "kg_chunk_search": kg_chunk_search,
         "kg_search_two_stage": kg_search_two_stage,
         "kg_context_build": kg_context_build,
         "kg_topic_chunks": kg_topic_chunks,

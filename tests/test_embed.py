@@ -86,6 +86,47 @@ def test_two_stage_search(spark, kg):
         ] in ("Apple Inc.", "Microsoft Corporation")
 
 
+def test_topic_vectors_present_and_searchable(spark, kg):
+    """The vectors table carries kind='topic' rows (reference topics index,
+    indices.py:449-477) and a definition-phrased query retrieves the right
+    topic at rank 1."""
+    from vanna_financial_knowledge_graph_spark.operators.embed import search_topics
+
+    v = kg["vectors"]
+    n_topic_vecs = v.where(F.col("kind") == "topic").count()
+    assert n_topic_vecs == kg["topics"].count() > 0
+
+    # self-selecting probe: query a known topic by its own definition text
+    t0 = kg["topics"].orderBy("name").first()
+    got = search_topics(
+        spark, v, kg["topics"], f"{t0['name']}: {t0['definition']}", k=3
+    ).collect()
+    assert got and got[0]["name"] == t0["name"] and got[0]["rank"] == 1
+    assert {"uuid", "name", "definition", "parent_name", "cosine", "rank"} == set(
+        got[0].asDict().keys()
+    )
+
+
+def test_fact_and_chunk_search_kinds(spark, kg):
+    """search_facts / search_chunks over the same search_kind surface
+    (knowledge_graph.py:995-1061): k rows, rank-ordered, kind-scoped."""
+    from vanna_financial_knowledge_graph_spark.operators.embed import search_kind
+
+    for kind in ("fact", "chunk"):
+        got = search_kind(
+            spark, kg["vectors"], kind, "quarterly earnings report", k=5
+        ).collect()
+        assert len(got) == 5
+        assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == list(
+            range(1, 6)
+        )
+        valid = {
+            r["uuid"]
+            for r in kg["vectors"].where(F.col("kind") == kind).select("uuid").collect()
+        }
+        assert all(r["vec_id"] in valid for r in got)
+
+
 def test_context_build_composition(spark, kg):
     from vanna_financial_knowledge_graph_spark.operators.context import build_context
 

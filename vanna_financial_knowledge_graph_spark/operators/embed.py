@@ -48,11 +48,15 @@ def build_vectors(
     chunks: DataFrame,
     entities: DataFrame,
     facts: DataFrame,
+    topics: DataFrame | None = None,
     width: int | None = None,
 ) -> DataFrame:
     """Unified vector table (kind, uuid, text, embedding, group_id) — the
     Spark equivalent of the reference's per-kind LanceDB indices. One row
-    per chunk (content), entity (name + summary), and fact (content).
+    per chunk (content), entity (name + summary), fact (content), and topic
+    ("{name}: {definition}" — the reference maintains a topics index too,
+    storage/lancedb/indices.py:449-477, searched during topic resolution
+    topic_resolver.py:357-369 and MCP find mcp/server.py:259-331).
     `width` re-fans the unioned text before the embedding UDF: upstream
     file layouts (few dense row groups) would otherwise cap the CPU-bound
     encode at their file count."""
@@ -76,6 +80,15 @@ def build_vectors(
             "group_id",
         ),
     ]
+    if topics is not None:
+        parts.append(
+            topics.select(
+                F.lit("topic").alias("kind"),
+                F.col("uuid"),
+                F.concat_ws(": ", F.col("name"), F.col("definition")).alias("text"),
+                "group_id",
+            )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -131,6 +144,37 @@ def search_entities(
             "name",
             "entity_type",
             "summary",
+            "cosine",
+            "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+def search_topics(
+    spark: SparkSession,
+    vectors: DataFrame,
+    topics: DataFrame,
+    query_text: str,
+    k: int = 10,
+    group_id: str = "default",
+) -> DataFrame:
+    """Top-k topics by embedding similarity over the topic vector index
+    (reference topic_resolver.py:357-369 semantic fallback + MCP find
+    mcp/server.py:259-331), enriched with the topic vertex fields."""
+    hits = search_kind(spark, vectors, "topic", query_text, k, group_id)
+    return (
+        hits.join(
+            topics.select(
+                F.col("uuid").alias("vec_id"), "name", "definition", "parent_name"
+            ),
+            "vec_id",
+        )
+        .select(
+            F.col("vec_id").alias("uuid"),
+            "name",
+            "definition",
+            "parent_name",
             "cosine",
             "rank",
         )

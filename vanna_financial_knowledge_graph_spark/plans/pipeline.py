@@ -308,11 +308,13 @@ class PipelineRun:
                     lambda: build_relationships(facts, gid),
                 ),
                 # per-kind vector index rows (reference: LanceDB per-table
-                # indices)
+                # indices, incl. the topics index at indices.py:449-477)
                 "vectors": lambda: self._run_stage(
                     "vectors",
-                    ["chunks", "entities", "facts"],
-                    lambda: build_vectors(chunks, entities, facts, width=width),
+                    ["chunks", "entities", "facts", "topics"],
+                    lambda: build_vectors(
+                        chunks, entities, facts, topics, width=width
+                    ),
                 ),
             }
         )
