@@ -138,21 +138,25 @@ def test_context_build_composition(spark, kg):
         kg["vectors"],
         "Apple Inc.",
         "earnings in the technology sector",
-        caps={"entity": 5, "neighbor": 4, "topic": 3, "global": 2},
+        caps={"high": 5, "low": 4, "topic": 3, "global": 2},
     )
     rows = ctx.collect()
     assert rows, "context must be non-empty for the hot entity"
-    by_source = {}
+    by_tier = {}
     seen = set()
     for r in rows:
         assert r["chunk_uuid"] not in seen, "A8 dedup violated"
         seen.add(r["chunk_uuid"])
-        assert r["relevance"] in ("high", "low")
-        by_source[r["source"]] = by_source.get(r["source"], 0) + 1
-    assert by_source.get("entity", 0) <= 5
-    assert by_source.get("neighbor", 0) <= 4
-    assert by_source.get("topic", 0) <= 3
-    assert by_source.get("global", 0) <= 2
+        assert r["relevance"] in ("high", "low", "topic")
+        by_tier[r["relevance"]] = by_tier.get(r["relevance"], 0) + 1
+    # reference tier caps (context_builder.py:94-100): high/low after the
+    # cross-source dedup, topic as its own separately-capped category
+    assert by_tier.get("high", 0) <= 5
+    assert by_tier.get("low", 0) <= 4
+    assert by_tier.get("topic", 0) <= 3
+    # topic-tier rows come only from the topic source
+    assert all(r["source"] == "topic" for r in rows if r["relevance"] == "topic")
+    assert all(r["source"] != "topic" for r in rows if r["relevance"] != "topic")
 
 
 def test_context_caps_respected_hand_fixture(spark):
@@ -190,7 +194,7 @@ def test_context_caps_respected_hand_fixture(spark):
     ).drop("text")
     ctx = build_context(
         spark, ents, rels, chunks, vectors, "Acme", "acquisition",
-        caps={"entity": 10, "neighbor": 10, "topic": 10, "global": 1},
+        caps={"high": 10, "low": 10, "topic": 10, "global": 1},
     ).collect()
     got = {(r["chunk_uuid"], r["source"]) for r in ctx}
     # c1 and c2 both touch e1 -> source 'entity' wins the A8 dedup for both

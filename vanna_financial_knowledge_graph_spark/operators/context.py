@@ -1,8 +1,11 @@
 """GraphRAG context assembly over the KG tables (reference
-query/context_builder.py:59-169): union of entity / neighbor / topic /
-global chunk sources (SET1) -> per-chunk max-score dedup (A8) -> relevance
-split (W6) -> per-source caps (W5), returned as ONE composed DataFrame — the
-query a reference user actually runs per question.
+query/context_builder.py:59-169): union of entity / neighbor / global chunk
+sources (SET1) -> per-chunk max-score dedup (A8) -> relevance split (W6) ->
+per-TIER caps (W5: max_high=30, max_low=20), with topic chunks deduped and
+capped SEPARATELY (max_topic=15, context_builder.py:86-112 — topic chunks
+are their own category in StructuredContext, not part of the high/low
+split), returned as ONE composed DataFrame — the query a reference user
+actually runs per question.
 
 Plan shape at scale: every driver of the composition (seed entity row,
 neighbor uuid set, topic uuid set, query vector) is dimension-sized and
@@ -20,7 +23,10 @@ from ..functions.embedding import EMBED_DIM, embed_text
 from .dedup import cosine_expr
 from .readpath import context_caps, dedup_max_score, relevance_split
 
-DEFAULT_CAPS = {"entity": 30, "neighbor": 20, "topic": 15, "global": 10}
+# reference ContextBuilder defaults (context_builder.py:36-41): high/low are
+# RELEVANCE-tier caps applied after the cross-source dedup; topic is its own
+# separately-deduped category; global is the vector-search fetch size.
+DEFAULT_CAPS = {"high": 30, "low": 20, "topic": 15, "global": 10}
 
 
 def build_context(
@@ -36,7 +42,12 @@ def build_context(
     relevance_threshold: float = 0.2,
     group_id: str = "default",
 ) -> DataFrame:
-    """-> (chunk_uuid, source, relevance, score, content) context rows."""
+    """-> (chunk_uuid, source, relevance, score, content) context rows.
+
+    relevance is 'high'/'low' for entity/neighbor/global-sourced chunks
+    (tier caps caps['high']/caps['low']) and 'topic' for topic-sourced
+    chunks (their own dedup + caps['topic'], matching the reference's
+    separate topic_chunks category)."""
     caps = caps or DEFAULT_CAPS
 
     seed = entities.where(
@@ -115,22 +126,40 @@ def build_context(
         .withColumn("source", F.lit("global"))
     )
 
-    # SET1 union of sources, scored once per (chunk, source)
-    all_src = (
-        src_entity.unionByName(src_neighbor)
-        .unionByName(src_topic)
-        .unionByName(src_global)
-    )
+    # SET1 union of NON-TOPIC sources (reference: all_chunks = entity +
+    # neighbor + global, context_builder.py:87-89), scored per (chunk, source)
+    all_src = src_entity.unionByName(src_neighbor).unionByName(src_global)
     scored = all_src.join(scored_vecs.select("chunk_uuid", "score"), "chunk_uuid")
 
     # A8: one row per chunk, max score (source tie broken deterministically)
     deduped = dedup_max_score(scored, "chunk_uuid", "score")
-    # W6 relevance split + W5 per-source caps
+    # W6 relevance split + W5 per-TIER caps (high[:max_high], low[:max_low])
     split = relevance_split(deduped, "score", threshold=relevance_threshold)
-    capped = context_caps(split, "source", "score", caps)
+    capped = context_caps(
+        split, "relevance", "score", {"high": caps.get("high", 30), "low": caps.get("low", 20)}
+    )
+
+    # topic chunks: separate dedup + cap (context_builder.py:98-100); tagged
+    # relevance='topic' — their own category, never in the high/low split
+    topic_scored = src_topic.join(
+        scored_vecs.select("chunk_uuid", "score"), "chunk_uuid"
+    )
+    topic_capped = (
+        dedup_max_score(topic_scored, "chunk_uuid", "score")
+        .orderBy(F.desc("score"), "chunk_uuid")
+        .limit(caps.get("topic", 15))
+        .withColumn("relevance", F.lit("topic"))
+    )
+
+    # a chunk already admitted via the high/low tiers wins over its topic
+    # copy (global uniqueness of chunk_uuid in the final context)
+    topic_only = topic_capped.join(
+        capped.select("chunk_uuid"), "chunk_uuid", "left_anti"
+    )
+    final = capped.unionByName(topic_only)
 
     return (
-        capped.join(
+        final.join(
             chunks.where(F.col("group_id") == group_id).select(
                 "chunk_uuid", "content"
             ),
