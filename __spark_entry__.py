@@ -718,11 +718,37 @@ def kg_chunk_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_vecs = v.where(F.col("kind") == "chunk").select(
         F.xxhash64("uuid").alias("vec_id"), "embedding"
     )
-    # 4 planes x 4 tables: wider buckets to keep recall high at the 0.9
-    # radius (θ≈0.45 rad) where this corpus's templated chunks live
-    return embedding_near_dups_lsh(
-        chunk_vecs, threshold=0.9, n_planes=4, tables=4
-    ).orderBy("id_a", "id_b")
+    # defaults (4 planes x 8 tables) give ~0.998 recall at the 0.9 radius
+    # (θ≈0.45 rad) where this corpus's templated chunks live
+    return embedding_near_dups_lsh(chunk_vecs, threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def kg_chunk_dedup_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal KG-side dedup composition over STRING uuids: LSH-blocked
+    embedding near-dup pairs on the chunk vector index -> connected-
+    components collapse (type-safe string key path) -> near-dup groups with
+    their surviving chunk. Returns only collapsed groups (size > 1)."""
+    from vanna_financial_knowledge_graph_spark.operators.dedup import (
+        dedup_collapse,
+        embedding_near_dups_lsh,
+    )
+
+    kg = _kg(spark, sf_dir)
+    chunk_vecs = kg["vectors"].where(F.col("kind") == "chunk").select(
+        F.col("uuid").alias("vec_id"), "embedding"
+    )
+    pairs = embedding_near_dups_lsh(
+        chunk_vecs, threshold=0.9, id_type="string"
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    _kept, mapping = dedup_collapse(kg["chunks"], pairs, id_col="chunk_uuid")
+    return (
+        mapping.groupBy("kept_id")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") > 1)
+        .orderBy("kept_id")
+    )
 
 
 def kg_topic_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_topic_hierarchy": kg_topic_hierarchy,
         "kg_ontology_namespace": kg_ontology_namespace,
         "kg_chunk_near_dup": kg_chunk_near_dup,
+        "kg_chunk_dedup_collapse": kg_chunk_dedup_collapse,
     }
 
 

@@ -226,6 +226,45 @@ def test_dedup_collapse_keeps_min_per_group(spark, docs):
     assert {r["doc_id"] for r in bkept.collect()} == {9}
 
 
+def test_dedup_collapse_id_type_safety(spark):
+    """Negative longs (xxhash64-derived ids) and string uuids both collapse
+    correctly; unsupported id types raise instead of silently nulling."""
+    docs = spark.createDataFrame(
+        [(-5, "a"), (3, "a"), (7, "b"), (-9, "c")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(-5, 3)], "doc_a long, doc_b long")
+    kept, mapping = D.dedup_collapse(docs, pairs)
+    assert {r["doc_id"] for r in kept.collect()} == {-5, 7, -9}
+    m = {r["doc_id"]: r["kept_id"] for r in mapping.collect()}
+    assert m == {-5: -5, 3: -5, 7: 7, -9: -9}
+
+    sdocs = spark.createDataFrame(
+        [("u-b", "x"), ("u-a", "x"), ("u-c", "y")], "doc_id string, text string"
+    )
+    spairs = spark.createDataFrame([("u-b", "u-a")], "doc_a string, doc_b string")
+    kept2, mapping2 = D.dedup_collapse(sdocs, spairs)
+    assert {r["doc_id"] for r in kept2.collect()} == {"u-a", "u-c"}
+    m2 = {r["doc_id"]: r["kept_id"] for r in mapping2.collect()}
+    assert m2 == {"u-a": "u-a", "u-b": "u-a", "u-c": "u-c"}
+
+    with pytest.raises(TypeError):
+        D.dedup_collapse(
+            docs.withColumn("doc_id", F.col("doc_id").cast("double")), pairs
+        )
+
+
+def test_dedup_collapse_cc_over_pair_endpoints_only(spark):
+    """Docs in no pair never enter CC: with an empty pair set the collapse
+    is a pure pass-through (no label propagation over the corpus)."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    kept, mapping = D.dedup_collapse(docs, pairs)
+    assert kept.count() == 20
+    assert mapping.where(F.col("doc_id") != F.col("kept_id")).count() == 0
+
+
 def test_embedding_near_dups_lsh_recall(spark):
     """Multi-table LSH blocking must recover (nearly) all true high-cosine
     pairs found by an exact all-pairs computation. Deterministic seeds."""

@@ -191,6 +191,9 @@ def minhash_near_dups(
     return jaccard_verify(pairs, sh, threshold).orderBy("doc_a", "doc_b")
 
 
+_SIGN_OFFSET = "9223372036854775808"  # 2^63, as a string (exceeds long range)
+
+
 def dedup_collapse(
     documents: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:
@@ -200,40 +203,72 @@ def dedup_collapse(
     connected-components machinery as entity canonicalization (component id
     = min member by contract), so the kept doc per group IS the component
     value — no extra reduction. Returns (deduplicated documents,
-    mapping(doc_id, kept_id)); docs in no pair survive trivially.
+    mapping(doc_id, kept_id)) with identity rows for docs in no pair.
 
-    This is the terminal step of a training-data dedup pipeline: pair
-    generation bounds candidates (LSH buckets), verification is exact, and
-    the collapse is one CC over the (tiny) pair graph + one semi-join of
-    the full corpus against the kept-id set."""
+    Type-safe key scheme: string ids (chunk/doc uuids) pass through verbatim
+    (survivor = lexicographic min); integer ids are offset by 2^63 via
+    decimal arithmetic and zero-padded, so the lexicographic min IS the
+    numeric min INCLUDING negative ids (xxhash64-derived ids are signed —
+    the old plain lpad silently cast '-5'-padded keys back to NULL). Any
+    other id type raises.
+
+    Scale shape: CC runs over PAIR ENDPOINTS ONLY (bounded by the verified
+    near-dup pair count, orders of magnitude below the corpus) — docs in no
+    pair never enter label propagation. The corpus-side work is one
+    left_anti against the broadcast LOSER set (pair members that aren't
+    their component min), so the 100TB side never shuffles."""
     from .canonicalize import connected_components
 
-    # CC keys are strings and component = lexicographic min: zero-pad the
-    # numeric ids so the lexicographic min IS the numeric min
-    def _key(c):
-        return F.lpad(F.col(c).cast("string"), 20, "0")
+    dtype = dict(documents.dtypes)[id_col]
+    if dtype == "string":
+        def _key(c):
+            return F.col(c)
+
+        def _unkey(c):
+            return F.col(c)
+    elif dtype in ("tinyint", "smallint", "int", "bigint"):
+        def _key(c):
+            return F.lpad(
+                (
+                    F.col(c).cast("decimal(20,0)")
+                    + F.lit(_SIGN_OFFSET).cast("decimal(20,0)")
+                ).cast("string"),
+                20,
+                "0",
+            )
+
+        def _unkey(c):
+            return (
+                F.col(c).cast("decimal(21,0)")
+                - F.lit(_SIGN_OFFSET).cast("decimal(21,0)")
+            ).cast("long")
+    else:
+        raise TypeError(
+            f"dedup_collapse: unsupported id type {dtype!r} for {id_col!r} "
+            "(expected string or integer)"
+        )
 
     nodes = (
-        documents.select(_key(id_col).alias("node"))
-        .union(pairs.select(_key("doc_a").alias("node")))
+        pairs.select(_key("doc_a").alias("node"))
         .union(pairs.select(_key("doc_b").alias("node")))
         .distinct()
     )
-    edges = pairs.select(
-        _key("doc_a").alias("src"), _key("doc_b").alias("dst")
-    )
+    edges = pairs.select(_key("doc_a").alias("src"), _key("doc_b").alias("dst"))
     comp = connected_components(nodes, edges)
-    mapping = comp.select(
-        F.col("node").cast("long").alias(id_col),
-        F.col("component").cast("long").alias("kept_id"),
+    pair_mapping = comp.select(
+        _unkey("node").alias(id_col), _unkey("component").alias("kept_id")
     )
-    kept = documents.join(
-        F.broadcast(
-            mapping.where(F.col(id_col) == F.col("kept_id")).select(id_col)
-        ),
-        id_col,
-        "left_semi",
+    # docs in no pair: identity mapping, trivially kept (left_anti against
+    # the broadcast pair-member set — bounded by the pair graph)
+    members = pair_mapping.select(id_col)
+    identity = (
+        documents.select(id_col)
+        .join(F.broadcast(members), id_col, "left_anti")
+        .select(F.col(id_col), F.col(id_col).alias("kept_id"))
     )
+    mapping = pair_mapping.unionByName(identity)
+    losers = pair_mapping.where(F.col(id_col) != F.col("kept_id")).select(id_col)
+    kept = documents.join(F.broadcast(losers), id_col, "left_anti")
     return kept, mapping
 
 
@@ -382,6 +417,7 @@ def embedding_near_dups_fast(
     embeddings: DataFrame,
     block_col: str = "label",
     threshold: float = 0.95,
+    id_type: str = "long",
 ) -> DataFrame:
     """NumPy-matmul twin of embedding_near_dups: per block, ONE float64
     GEMM scores all pairs (applyInPandas, Arrow batch in/out) instead of a
@@ -389,7 +425,9 @@ def embedding_near_dups_fast(
     identical output (agreement asserted by
     tests/test_dedup.py::test_embedding_near_dup_paths_agree). Same scale
     shape: the groupBy(block) shuffle bounds pair counts exactly like the
-    exact path; per-block memory is O(block_size * dim + block_size^2)."""
+    exact path; per-block memory is O(block_size * dim + block_size^2).
+    id_type: Spark type of vec_id ('long' or 'string' — uuid corpora)."""
+    empty_np = "int64" if id_type == "long" else "object"
 
     def _block(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -398,7 +436,7 @@ def embedding_near_dups_fast(
         ids = pdf["vec_id"].to_numpy()
         if len(ids) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+                {"id_a": empty_np, "id_b": empty_np, "cosine": "float64"}
             )
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
@@ -419,7 +457,7 @@ def embedding_near_dups_fast(
             F.col(block_col).alias("blk"), "vec_id", "embedding"
         )
         .groupBy("blk")
-        .applyInPandas(_block, "id_a long, id_b long, cosine double")
+        .applyInPandas(_block, f"id_a {id_type}, id_b {id_type}, cosine double")
     )
 
 
@@ -427,24 +465,30 @@ def embedding_near_dups_lsh(
     embeddings: DataFrame,
     threshold: float = 0.9,
     dim: int = 64,
-    n_planes: int = 8,
-    tables: int = 4,
+    n_planes: int = 4,
+    tables: int = 8,
     seed: int = 7,
+    id_type: str = "long",
 ) -> DataFrame:
     """The SCALE composition the blocked near-dup docstrings promise: LSH
     buckets are the blocking key, the NumPy-GEMM kernel scores inside each
-    bucket, and `tables` independent hyperplane sets union their candidates
-    (multi-table LSH: per-table recall for a pair at angle θ is
-    (1-θ/π)^n_planes, so T tables give 1-(1-p)^T — e.g. ≥0.99 at
-    cosine≥0.98 with 8 planes x 4 tables). Never an all-pairs join; bucket
-    sizes bound the GEMM. Output pairs are exact (verified cosine), distinct
-    across tables."""
+    bucket, and `tables` independent hyperplane sets union their candidates.
+
+    Multi-table LSH recall math (sizes the defaults): a pair at angle θ
+    collides in one table with p = (1-θ/π)^n_planes, so T tables give
+    1-(1-p)^T. At the default threshold=0.9 (θ≈0.451 rad, 1-θ/π≈0.856),
+    4 planes give p≈0.538 per table and 8 tables give recall ≈1-0.462^8 ≈
+    0.998. (The previous 8-plane x 4-table default delivered only ~0.75 at
+    this threshold — planes sharpen precision but kill per-table recall;
+    fewer planes + more tables is the right trade when the radius is wide.)
+    Never an all-pairs join; bucket sizes bound the GEMM. Output pairs are
+    exact (verified cosine), distinct across tables."""
     outs = []
     from .similarity import lsh_bucketize
 
     for t in range(tables):
         b = lsh_bucketize(embeddings, dim, n_planes, seed + 131 * t)
-        outs.append(embedding_near_dups_fast(b, "bucket", threshold))
+        outs.append(embedding_near_dups_fast(b, "bucket", threshold, id_type))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
