@@ -772,6 +772,42 @@ def kg_ontology_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ontology_topics(spark).orderBy("uuid")
 
 
+def kg_upsert_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl MERGE on the KG tables (reference update path,
+    backend.py:499-553): recrawl 5 urls with changed html -> per-doc
+    replace-merge of docs/chunks/mentions/facts_raw -> deterministic rebuild
+    of the graph-global tables. Returns per-table before/after row counts."""
+    from vanna_financial_knowledge_graph_spark.operators.upsert import recrawl_upsert
+
+    kg = _kg(spark, sf_dir)
+    urls = [
+        r["url"]
+        for r in kg["pages"].select("url").orderBy("url").limit(5).collect()
+    ]
+    modified = kg["pages"].where(F.col("url").isin(urls)).withColumn(
+        "html",
+        F.encode(
+            F.regexp_replace(F.decode("html", "utf-8"), "acquired", "sold"),
+            "utf-8",
+        ),
+    )
+    merged = recrawl_upsert(spark, kg, modified)
+    names = ["docs", "chunks", "mentions", "facts_raw", "entities", "facts", "relationships"]
+    parts = []
+    for n in names:
+        before = kg[n].groupBy().agg(F.count(F.lit(1)).alias("rows_before")).select(
+            F.lit(n).alias("table_name"), "rows_before"
+        )
+        after = merged[n].groupBy().agg(F.count(F.lit(1)).alias("rows_after")).select(
+            F.lit(n).alias("table_name"), "rows_after"
+        )
+        parts.append(before.join(after, "table_name"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
 def kg_byte_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vanna_financial_knowledge_graph_spark.operators.extract import (
         byte_identity_report,
@@ -839,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_one_hop_chunks": kg_one_hop_chunks,
         "kg_facts_around": kg_facts_around,
         "kg_stats_counts": kg_stats_counts,
+        "kg_upsert_recrawl": kg_upsert_recrawl,
         "kg_byte_identity": kg_byte_identity,
         "kg_vectors": kg_vectors,
         "kg_entity_search": kg_entity_search,

@@ -203,6 +203,57 @@ def test_context_caps_respected_hand_fixture(spark):
     assert sum(1 for _, s in got if s == "global") <= 1
 
 
+def test_recrawl_upsert_equals_from_scratch(spark, kg):
+    """Incremental-crawl MERGE: recrawl 3 urls with changed html, merge into
+    the existing KG tables, and assert every table is row-equal to a
+    from-scratch build over the updated corpus (reference update semantics,
+    backend.py:499-553)."""
+    from vanna_financial_knowledge_graph_spark.operators.upsert import (
+        build_kg_tables,
+        recrawl_upsert,
+    )
+
+    pages = kg["pages"]
+    urls = [r["url"] for r in pages.select("url").orderBy("url").limit(3).collect()]
+    modified = (
+        pages.where(F.col("url").isin(urls))
+        .withColumn(
+            "html",
+            F.encode(
+                F.regexp_replace(F.decode("html", "utf-8"), "acquired", "sold"),
+                "utf-8",
+            ),
+        )
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+    )
+    merged = recrawl_upsert(spark, kg, modified)
+
+    # the recrawl must actually change the recrawled docs' chunks
+    doc_uuids = [r["doc_uuid"] for r in merged["docs"].join(
+        modified.select("url"), "url").select("doc_uuid").collect()]
+    old_c = kg["chunks"].where(F.col("doc_uuid").isin(doc_uuids)).select(
+        "chunk_uuid", "content")
+    new_c = merged["chunks"].where(F.col("doc_uuid").isin(doc_uuids)).select(
+        "chunk_uuid", "content")
+    assert new_c.exceptAll(old_c).count() > 0, "recrawl produced no change"
+
+    scratch = build_kg_tables(
+        spark, pages.where(~F.col("url").isin(urls)).unionByName(modified)
+    )
+
+    def _multiset(df):
+        return sorted(
+            tuple(str(v) for v in row) for row in df.collect()
+        )
+
+    for name in [
+        "docs", "chunks", "mentions", "facts_raw",
+        "canonical_map", "entities", "topics", "facts", "relationships",
+    ]:
+        a, b = merged[name], scratch[name].select(*merged[name].columns)
+        assert _multiset(a) == _multiset(b), f"{name}: merged != from-scratch"
+
+
 def test_merge_upsert(spark):
     from vanna_financial_knowledge_graph_spark.operators.upsert import (
         merge_upsert,
