@@ -577,7 +577,8 @@ def kg_one_hop_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     kg = _kg(spark, sf_dir)
     return entity_one_hop_chunks(
-        kg["entities"], kg["relationships"], kg["chunks"], "Apple Inc."
+        kg["entities"], kg["relationships"], kg["chunks"], "Apple Inc.",
+        documents=kg["docs"],
     )
 
 
@@ -772,6 +773,37 @@ def kg_ontology_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ontology_topics(spark).orderBy("uuid")
 
 
+def kg_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time bucketing (sources/bucketed.py): facts and chunks persisted
+    bucketed by chunk_uuid, then joined with ZERO exchange on either side
+    (plan-asserted in tests/test_plans.py::test_bucketed_join_no_exchange) —
+    the persisted co-location that kills the dominant read-path shuffle at
+    100TB. Returns top subjects by chunk-hit count over the co-located join."""
+    from vanna_financial_knowledge_graph_spark.sources.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    kg = _kg(spark, sf_dir)
+    write_bucketed(
+        kg["facts"].select("uuid", "chunk_uuid", "subject_name"),
+        "entry_facts_bucketed", "chunk_uuid", buckets=8,
+    )
+    write_bucketed(
+        kg["chunks"].select("chunk_uuid", "content"),
+        "entry_chunks_bucketed", "chunk_uuid", buckets=8,
+    )
+    j = colocated_join(
+        spark, "entry_facts_bucketed", "entry_chunks_bucketed", "chunk_uuid"
+    )
+    return (
+        j.groupBy("subject_name")
+        .agg(F.count(F.lit(1)).alias("n_chunk_hits"))
+        .orderBy(F.desc("n_chunk_hits"), "subject_name")
+        .limit(20)
+    )
+
+
 def kg_upsert_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl MERGE on the KG tables (reference update path,
     backend.py:499-553): recrawl 5 urls with changed html -> per-doc
@@ -875,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_one_hop_chunks": kg_one_hop_chunks,
         "kg_facts_around": kg_facts_around,
         "kg_stats_counts": kg_stats_counts,
+        "kg_bucketed_join": kg_bucketed_join,
         "kg_upsert_recrawl": kg_upsert_recrawl,
         "kg_byte_identity": kg_byte_identity,
         "kg_vectors": kg_vectors,
@@ -1100,6 +1133,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_near_dup": _EMB_NEAR_DUP_ORACLE,
         "emb_near_dup_fast": _EMB_NEAR_DUP_ORACLE,
+        # exact all-pairs 3-shingle jaccard: equals the MinHash-LSH result
+        # whenever LSH recall is 1.0 (holds here: every qualifying pair has
+        # jaccard >= 0.9, where 8-band/4-row miss probability is ~2e-4)
+        "minhash_near_dup": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 3, 0) + 2),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+              FROM t
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.sh, b.sh)) * 1.0
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
         "merge_upsert_agg": """
             WITH updates AS (
                 SELECT * REPLACE (c_acctbal + 1000.0 AS c_acctbal)

@@ -11,13 +11,16 @@ from vanna_financial_knowledge_graph_spark.functions.matching import (
 from vanna_financial_knowledge_graph_spark.functions.textops import chunk_text
 from vanna_financial_knowledge_graph_spark.gazetteer import gazetteer_entries
 from vanna_financial_knowledge_graph_spark.operators.extract import (
+    byte_identity_mismatches,
     byte_identity_report,
 )
 
 
 def test_byte_identity_zero_mismatches(kg):
     """The per-row invariant from BASELINE.json input_hint."""
-    assert byte_identity_report(kg["pages"], kg["extracted"]).count() == 0
+    assert byte_identity_mismatches(kg["pages"], kg["extracted"]).count() == 0
+    row = byte_identity_report(kg["pages"], kg["extracted"]).first()
+    assert row["n_urls"] > 0 and row["n_mismatched"] == 0
 
 
 def test_chunk_positions_per_doc(kg):

@@ -35,6 +35,47 @@ def test_no_bnlj_in_or_join_rewrite(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_bucketed_join_no_exchange(spark, kg):
+    """Co-located join via write-time bucketing: facts and chunks bucketed
+    by chunk_uuid join with NO Exchange on either side (the persisted
+    analogue of repartitioning — at 100TB this kills the dominant read-path
+    shuffle). A plain (unbucketed) merge join of the same tables DOES
+    exchange, asserted as the control."""
+    from pyspark.sql import functions as F
+
+    from vanna_financial_knowledge_graph_spark.sources.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    facts = kg["facts"].select("uuid", "chunk_uuid", "subject_name")
+    chunks = kg["chunks"].select("chunk_uuid", "content")
+    write_bucketed(facts, "t_facts_bucketed", "chunk_uuid", buckets=4)
+    write_bucketed(chunks, "t_chunks_bucketed", "chunk_uuid", buckets=4)
+
+    joined = colocated_join(spark, "t_facts_bucketed", "t_chunks_bucketed", "chunk_uuid")
+    n = joined.count()
+    assert n == facts.join(chunks, "chunk_uuid").count() > 0
+    p = _plan(joined)
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p, "bucketed join must not shuffle"
+
+    control = facts.hint("merge").join(chunks, "chunk_uuid")
+    control.count()
+    assert "Exchange" in _plan(control), "control (unbucketed) should shuffle"
+
+    # bucket pruning sanity: an equality predicate on the bucket key selects
+    # 1 of the 4 buckets at the scan (visible in the formatted explain)
+    import contextlib
+    import io
+
+    one = spark.table("t_facts_bucketed").where(F.col("chunk_uuid") == "x")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one.explain("formatted")
+    assert "SelectedBucketsCount: 1 out of 4" in buf.getvalue()
+
+
 def test_linking_join_broadcasts_canonical_map(spark, kg):
     from vanna_financial_knowledge_graph_spark.operators.assemble import link_facts
 

@@ -56,6 +56,26 @@ def test_one_hop_union_rewrite(spark, graph):
     assert got == {"c1", "c2", "c3"}
 
 
+def test_one_hop_doc_name_enrichment(spark, graph):
+    """Reference J2 carries d.name via LEFT JOIN documents
+    (queries.py:477-485): enrichment fills doc_name, missing docs -> null."""
+    entities, _, rels, chunks = graph
+    chunks2 = chunks.withColumn(
+        "doc_uuid", F.concat(F.lit("d-"), F.col("chunk_uuid"))
+    )
+    docs = spark.createDataFrame(
+        [("d-c1", "Doc One", "default")],
+        "doc_uuid string, doc_name string, group_id string",
+    )
+    got = {
+        r["chunk_uuid"]: r["doc_name"]
+        for r in R.entity_one_hop_chunks(
+            entities, rels, chunks2, "apple inc.", documents=docs
+        ).collect()
+    }
+    assert got == {"c1": "Doc One", "c2": None, "c3": None}
+
+
 def test_two_hop_neighbor_counts(spark, graph):
     entities, _, rels, _ = graph
     rows = R.two_hop_neighbors(entities, rels, "Apple Inc.", 10).collect()

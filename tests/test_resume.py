@@ -90,7 +90,8 @@ def test_byte_identity_holds_on_tiny(spark, tiny_sf, tmp_path):
     )
 
     out = PipelineRun(spark, tiny_sf, str(tmp_path / "w5")).run()
-    assert byte_identity_report(out["pages"], out["extracted"]).count() == 0
+    row = byte_identity_report(out["pages"], out["extracted"]).first()
+    assert row["n_urls"] > 0 and row["n_mismatched"] == 0
 
 
 def test_stage_dirs_have_manifest(spark, tiny_sf, tmp_path):

@@ -149,6 +149,53 @@ def test_ivf_topk_recall_planted_clusters(spark):
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
+def test_ivf_sampled_training_recall_and_plan(spark):
+    """sample_fraction < 1 (the 10^12-row scale path): Lloyd's trains on a
+    seeded Bernoulli sample — the training plan shows a Sample node — and
+    planted-cluster recall still holds because centroid quality depends on
+    density coverage, not corpus size."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    dim, n_clusters, per = 64, 6, 20
+    rows, truth, vid = [], {}, 0
+    for _ in range(n_clusters):
+        center = rng.randn(dim)
+        center /= np.linalg.norm(center)
+        ids = list(range(vid, vid + per))
+        for i in ids:
+            v = center + 0.02 * rng.randn(dim)
+            rows.append((i, [float(x) for x in v]))
+        truth[ids[0]] = set(ids[1:])
+        vid += per
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # plan check: the sampled training input carries a Sample node
+    sampled = df.sample(withReplacement=False, fraction=0.5, seed=7)
+    assert "Sample" in sampled._jdf.queryExecution().executedPlan().toString()
+
+    queries = df.where(F.col("vec_id").isin(list(truth))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = S.ivf_topk(
+        df, queries, k=per - 1, dim=dim, n_centroids=8, nprobe=2,
+        sample_fraction=0.5,
+    )
+    hits: dict[int, set] = {}
+    for r in got.collect():
+        hits.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(hits.get(q, set()) & m) / len(m) for q, m in truth.items()]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    # deterministic across runs at the same fraction/seed
+    a = S.ivf_train(df, dim=dim, n_centroids=8, sample_fraction=0.5)
+    b = S.ivf_train(df, dim=dim, n_centroids=8, sample_fraction=0.5)
+    assert a == b
+
+    with pytest.raises(ValueError):
+        S.ivf_train(df, dim=dim, sample_fraction=0.0)
+
+
 def test_ivf_deterministic(emb):
     df, _ = emb
     a = S.ivf_train(df, dim=16, n_centroids=4, iters=2)

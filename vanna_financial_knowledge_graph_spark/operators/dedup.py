@@ -5,7 +5,8 @@ signatures are computed with higher-order functions (transform/aggregate
 over xxhash64) — no Python in the loop; LSH candidate generation is a
 band-bucket self-join (shuffle keyed on (band, band_hash), never an O(n²)
 cross join); verification jaccard uses array_intersect/array_union.
-SimHash uses one Arrow-vectorized pandas UDF (bit-parallel in NumPy).
+SimHash uses one Arrow-vectorized pandas UDF (unique tokens factorized per
+batch, FNV-hashed once each, majority vote as bit-plane bincounts).
 
 Scale notes (100 TB): the only shuffles are groupBy(hash) for exact dedup
 and the band-bucket exchange for LSH; both are uniformly keyed by

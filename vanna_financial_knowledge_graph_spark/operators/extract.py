@@ -88,9 +88,11 @@ def build_chunks(extracted: DataFrame, group_id: str = GROUP_ID) -> DataFrame:
     return extracted.select("url", "warc_ts", "text").mapInPandas(_run, schema=CHUNKS)
 
 
-def byte_identity_report(pages: DataFrame, extracted: DataFrame) -> DataFrame:
-    """Per-url check that the Spark-extracted text equals the stored text
-    column byte-for-byte (the per-row invariant). Returns mismatch rows."""
+def byte_identity_mismatches(pages: DataFrame, extracted: DataFrame) -> DataFrame:
+    """Per-url rows where the Spark-extracted text differs byte-for-byte
+    from the stored text column (the per-row invariant). Empty when the
+    invariant holds — use byte_identity_report for a driver-checkable
+    summary."""
     lhs = pages.select("url", F.col("text").alias("text_stored"))
     rhs = extracted.select("url", F.col("text").alias("text_spark"))
     return (
@@ -99,4 +101,22 @@ def byte_identity_report(pages: DataFrame, extracted: DataFrame) -> DataFrame:
             ~(F.col("text_stored").eqNullSafe(F.col("text_spark")))
         )
         .select("url", "text_stored", "text_spark")
+    )
+
+
+def byte_identity_report(pages: DataFrame, extracted: DataFrame) -> DataFrame:
+    """ONE summary row (n_urls, n_mismatched): a green check is an explicit
+    `n_mismatched = 0` over a positive url count — distinguishable from a
+    query that silently returned nothing (an empty mismatch set is not)."""
+    lhs = pages.select("url", F.col("text").alias("text_stored"))
+    rhs = extracted.select("url", F.col("text").alias("text_spark"))
+    return (
+        lhs.join(rhs, "url", "full_outer")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(
+                (~F.col("text_stored").eqNullSafe(F.col("text_spark"))).cast("long")
+            ).alias("n_mismatched"),
+        )
     )

@@ -53,8 +53,15 @@ def entity_one_hop_chunks(
     chunks: DataFrame,
     entity_name: str,
     group_id: str = "default",
+    documents: DataFrame | None = None,
 ) -> DataFrame:
-    """Chunks mentioning an entity via graph edges (J2 union rewrite)."""
+    """Chunks mentioning an entity via graph edges (J2 union rewrite).
+
+    When `documents` is given, each chunk row carries its document name via
+    LEFT JOIN — the reference's J2 selects d.name alongside the chunk
+    (queries.py:477-485). The join key is doc_uuid (equi, dimension-side
+    broadcastable at query scale); missing docs leave doc_name null, as a
+    LEFT JOIN should."""
     e = entities.where(
         (F.lower(F.col("name")) == entity_name.lower())
         & (F.col("group_id") == group_id)
@@ -67,12 +74,19 @@ def entity_one_hop_chunks(
         "chunk_uuid"
     )
     hit_chunks = hits_from.union(hits_to).distinct()
-    return (
+    cols = ["chunk_uuid", "content", "header_path", "document_date", "url"]
+    out = (
         chunks.where(F.col("group_id") == group_id)
         .join(hit_chunks, "chunk_uuid")
-        .select("chunk_uuid", "content", "header_path", "document_date", "url")
+        .select(*cols, *(["doc_uuid"] if documents is not None else []))
         .dropDuplicates(["chunk_uuid"])
     )
+    if documents is not None:
+        d = documents.where(F.col("group_id") == group_id).select(
+            "doc_uuid", "doc_name"
+        )
+        out = out.join(d, "doc_uuid", "left").drop("doc_uuid")
+    return out
 
 
 def two_hop_neighbors(

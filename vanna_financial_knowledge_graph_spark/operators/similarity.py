@@ -123,14 +123,29 @@ def ivf_train(
     n_centroids: int = 16,
     iters: int = 2,
     seed: int = 7,
+    sample_fraction: float | None = None,
 ) -> list[list[float]]:
     """Deterministic IVF coarse quantizer: seeded random unit-vector init +
     `iters` rounds of distributed Lloyd's. Per round, vectors assign to
     their argmax-dot centroid JVM-side; the new centroid = mean vector per
     cell, computed by exploding (cell, dim_idx, value) and aggregating —
-    only n_centroids x dim tiny rows ever reach the driver. At 10^12 rows
-    you train on a sample; assignment stays a full narrow map either way."""
+    only n_centroids x dim tiny rows ever reach the driver.
+
+    sample_fraction < 1 is THE scale path: Lloyd's iterates over a seeded
+    Bernoulli sample of the corpus (a Sample node directly above the scan,
+    so the per-iteration posexplode touches fraction*N rows instead of N —
+    at 10^12 rows training on ~10^-5 of the corpus is standard IVF
+    practice, and centroid quality depends on the sample's coverage of the
+    density, not on N). Assignment (ivf_topk) stays a full narrow map over
+    all rows either way."""
     import numpy as np
+
+    if sample_fraction is not None and not 0.0 < sample_fraction <= 1.0:
+        raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
+    if sample_fraction and sample_fraction < 1.0:
+        embeddings = embeddings.sample(
+            withReplacement=False, fraction=sample_fraction, seed=seed
+        )
 
     rng = np.random.RandomState(seed)
     cents = rng.randn(n_centroids, dim)
@@ -170,13 +185,15 @@ def ivf_topk(
     nprobe: int = 4,
     iters: int = 2,
     seed: int = 7,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their nearest-centroid
     cell (one narrow assignment map); each query probes its nprobe nearest
     cells and re-ranks exactly inside them. The cell join replaces the full
     scan — the classic inverted-file trade: recall grows with nprobe, cost
-    with nprobe/n_centroids of the corpus."""
-    centroids = ivf_train(embeddings, dim, n_centroids, iters, seed)
+    with nprobe/n_centroids of the corpus. sample_fraction subsamples the
+    TRAINING pass only (see ivf_train); assignment is always full."""
+    centroids = ivf_train(embeddings, dim, n_centroids, iters, seed, sample_fraction)
     corpus = embeddings.select(
         "vec_id",
         F.col("embedding").alias("emb_c"),

@@ -80,5 +80,11 @@ def get_spark(
             "spark.local.dir",
             os.environ.get("VKG_LOCAL_DIR", "/dev/shm/spark-local"),
         )
+        # saved-table warehouse (bucketed tables, sources/bucketed.py) —
+        # kept off the repo tree; on a cluster this is the Iceberg catalog
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("VKG_WAREHOUSE", "/tmp/vkg_warehouse"),
+        )
     )
     return builder.getOrCreate()
