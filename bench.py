@@ -98,7 +98,11 @@ def main() -> int:
     pipeline_sec = time.time() - t0
     timings["kg_pipeline_full"] = round(pipeline_sec, 3)
 
-    # KG read-path over the just-built graph (warm tables), best-of-2
+    # KG read-path over the just-built graph, best-of-2. Settle the JVM
+    # first: the DAG leaves the heap full of shuffle/broadcast carcasses and
+    # the first post-DAG query otherwise pays its GC (measured 3-4x).
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
     from vanna_financial_knowledge_graph_spark.operators.readpath import (
         facts_for_entities,
         two_hop_neighbors,

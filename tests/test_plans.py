@@ -65,15 +65,23 @@ def test_bucketed_join_no_exchange(spark, kg):
     assert "Exchange" in _plan(control), "control (unbucketed) should shuffle"
 
     # bucket pruning sanity: an equality predicate on the bucket key selects
-    # 1 of the 4 buckets at the scan (visible in the formatted explain)
+    # 1 of the 4 buckets at the scan. DisableUnnecessaryBucketedScan would
+    # un-bucket a bare filter scan (pruning only fires on bucketed reads),
+    # so pin it off for the assertion.
     import contextlib
     import io
 
-    one = spark.table("t_facts_bucketed").where(F.col("chunk_uuid") == "x")
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        one.explain("formatted")
-    assert "SelectedBucketsCount: 1 out of 4" in buf.getvalue()
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    old = spark.conf.get(key, "true")
+    try:
+        spark.conf.set(key, "false")
+        one = spark.table("t_facts_bucketed").where(F.col("chunk_uuid") == "x")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            one.explain("formatted")
+        assert "SelectedBucketsCount: 1 out of 4" in buf.getvalue()
+    finally:
+        spark.conf.set(key, old)
 
 
 def test_linking_join_broadcasts_canonical_map(spark, kg):

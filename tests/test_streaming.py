@@ -43,6 +43,48 @@ def test_available_now_incremental(spark, kg, tmp_path):
     assert spark.read.parquet(out_dir).count() == n2
 
 
+def test_incremental_vectors_match_batch(spark, kg, tmp_path):
+    """Streaming vector-index maintenance: new chunk files embed exactly
+    once, and every incremental embedding is byte-equal to the batch path
+    (same deterministic encoder)."""
+    from vanna_financial_knowledge_graph_spark.operators.embed import with_embedding
+    from vanna_financial_knowledge_graph_spark.streaming.stream import (
+        incremental_vectors,
+    )
+
+    chunks_dir = str(tmp_path / "chunks_in")
+    out_dir = str(tmp_path / "vectors_out")
+    ckpt = str(tmp_path / "vec_ckpt")
+
+    first = kg["chunks"].orderBy("chunk_uuid").limit(30)
+    first.write.mode("overwrite").parquet(chunks_dir)
+    incremental_vectors(spark, chunks_dir, out_dir, ckpt).awaitTermination()
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 30
+
+    # second tranche appends; third run adds nothing (exactly-once)
+    more = kg["chunks"].orderBy(F.desc("chunk_uuid")).limit(10)
+    more.coalesce(1).write.mode("append").parquet(chunks_dir)
+    incremental_vectors(spark, chunks_dir, out_dir, ckpt).awaitTermination()
+    got = spark.read.parquet(out_dir)
+    assert got.count() == got.select("uuid").distinct().count()
+    incremental_vectors(spark, chunks_dir, out_dir, ckpt).awaitTermination()
+    assert spark.read.parquet(out_dir).count() == got.count()
+
+    # streamed embeddings == batch embeddings for the same chunks
+    batch = with_embedding(
+        spark.read.parquet(chunks_dir).select(
+            F.col("chunk_uuid").alias("uuid"), F.col("content").alias("text")
+        ),
+        "text",
+    ).drop("text")
+    stream_map = {
+        r["uuid"]: r["embedding"] for r in spark.read.parquet(out_dir).collect()
+    }
+    for r in batch.collect():
+        assert stream_map[r["uuid"]] == r["embedding"]
+
+
 def test_streaming_stateful_url_dedup(spark, tmp_path):
     import datetime as dt
 

@@ -56,27 +56,42 @@ def build_context(
     ).select(F.col("uuid").alias("euuid"))
     r = relationships.where(F.col("group_id") == group_id)
 
-    # J2 union rewrite: edges touching the seed from either endpoint
-    e_from = r.join(F.broadcast(seed), r["from_uuid"] == F.col("euuid"))
-    e_to = r.join(F.broadcast(seed), r["to_uuid"] == F.col("euuid"))
+    # J2 union rewrite: edges touching the seed from either endpoint.
+    # seed_edges is SEED-SIZED (one entity's incident edges) but feeds FIVE
+    # consumers below (entity source, both neighbor directions, seed topics)
+    # — materialize it once so the edge table (the 100TB side) is scanned
+    # exactly twice in the whole plan (here + src_neighbor/src_topic below)
+    # instead of once per consumer.
+    e_from = r.join(F.broadcast(seed), r["from_uuid"] == F.col("euuid")).withColumn(
+        "dir", F.lit("from")
+    )
+    e_to = r.join(F.broadcast(seed), r["to_uuid"] == F.col("euuid")).withColumn(
+        "dir", F.lit("to")
+    )
+    seed_edges = (
+        e_from.unionByName(e_to)
+        .select("from_uuid", "to_uuid", "to_type", "chunk_uuid", "euuid", "dir")
+        .localCheckpoint(eager=False)
+    )
 
     src_entity = (
-        e_from.select("chunk_uuid")
-        .union(e_to.select("chunk_uuid"))
+        seed_edges.select("chunk_uuid")
         .distinct()
         .withColumn("source", F.lit("entity"))
     )
 
     # top-k neighbor entities by connection count (A2/W3), then THEIR chunks
     neighbors = (
-        e_from.where(
-            (F.col("to_type") == "entity") & (F.col("to_uuid") != F.col("euuid"))
+        seed_edges.where(
+            (F.col("dir") == "from")
+            & (F.col("to_type") == "entity")
+            & (F.col("to_uuid") != F.col("euuid"))
         )
         .select(F.col("to_uuid").alias("nuuid"))
         .union(
-            e_to.where(F.col("from_uuid") != F.col("euuid")).select(
-                F.col("from_uuid").alias("nuuid")
-            )
+            seed_edges.where(
+                (F.col("dir") == "to") & (F.col("from_uuid") != F.col("euuid"))
+            ).select(F.col("from_uuid").alias("nuuid"))
         )
         .groupBy("nuuid")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -93,7 +108,7 @@ def build_context(
 
     # topics the seed entity co-occurs with -> chunks attached to those topics
     seed_topics = (
-        e_from.where(F.col("to_type") == "topic")
+        seed_edges.where((F.col("dir") == "from") & (F.col("to_type") == "topic"))
         .select(F.col("to_uuid").alias("tuuid"))
         .distinct()
     )

@@ -73,6 +73,50 @@ def incremental_deduped_chunks(
     )
 
 
+def incremental_vectors(
+    spark: SparkSession,
+    chunks_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming maintenance of the vector index: new chunk files embed and
+    append as (kind='chunk', uuid, embedding, group_id) rows — the streaming
+    twin of the batch `vectors` stage (embed.build_vectors), using the SAME
+    deterministic pandas-UDF encoder, so a row embedded incrementally is
+    byte-equal to its batch embedding (asserted by
+    tests/test_streaming.py::test_incremental_vectors_match_batch).
+
+    Embedding is a narrow per-row map: no state, no shuffle — the ideal
+    streaming operator shape. At crawl scale this keeps the search index
+    hot within one trigger of ingest instead of waiting for a batch
+    rebuild."""
+    from pyspark.sql import functions as F
+
+    from ..operators.embed import with_embedding
+    from ..schemas import CHUNKS
+
+    chunks = (
+        spark.readStream.schema(CHUNKS).format("parquet").load(chunks_dir)
+    )
+    vectors = with_embedding(
+        chunks.select(
+            F.lit("chunk").alias("kind"),
+            F.col("chunk_uuid").alias("uuid"),
+            F.col("content").alias("text"),
+            "group_id",
+        ),
+        "text",
+    ).drop("text")
+    return (
+        vectors.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+
+
 def running_entity_counts(
     spark: SparkSession,
     mentions_dir: str,
