@@ -1156,6 +1156,40 @@ def oracle_sql() -> dict[str, str]:
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
             ORDER BY doc_a, doc_b
         """,
+        # CC over the verified near-dup pair graph, reproduced in SQL as a
+        # recursive transitive closure (tiny pair graph -> min reachable id
+        # = the component/survivor); docs in no pair keep themselves
+        "dedup_collapse_docs": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 3, 0) + 2),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+              FROM t
+            ), p AS (
+              SELECT a.doc_id AS da, b.doc_id AS db
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ), edges AS (
+              SELECT da AS a, db AS b FROM p
+              UNION SELECT db, da FROM p
+            ), reach AS (
+              SELECT a AS node, a AS r FROM edges
+              UNION
+              SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+            ), comp AS (
+              SELECT node, min(r) AS kept FROM reach GROUP BY node
+            )
+            SELECT coalesce(c.kept, d.doc_id) AS kept_id,
+                   count(*) AS group_size
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+            GROUP BY 1 ORDER BY kept_id
+        """,
         "merge_upsert_agg": """
             WITH updates AS (
                 SELECT * REPLACE (c_acctbal + 1000.0 AS c_acctbal)
