@@ -773,6 +773,31 @@ def kg_ontology_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ontology_topics(spark).orderBy("uuid")
 
 
+def kg_stream_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming twin of the vectors stage: the chunk table
+    streams through the SAME deterministic encoder with AvailableNow
+    exactly-once semantics (streaming/stream.incremental_vectors); output is
+    byte-equal to the batch path, so the row hash is deterministic."""
+    import hashlib
+    import shutil
+
+    from vanna_financial_knowledge_graph_spark.streaming.stream import (
+        incremental_vectors,
+    )
+
+    kg = _kg(spark, sf_dir)
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    base = f"/tmp/vkg_stream_entry/{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    kg["chunks"].write.mode("overwrite").parquet(f"{base}/chunks")
+    incremental_vectors(
+        spark, f"{base}/chunks", f"{base}/vecs", f"{base}/ckpt"
+    ).awaitTermination()
+    return spark.read.parquet(f"{base}/vecs").select(
+        "kind", "uuid", F.to_json("embedding").alias("embedding_json"), "group_id"
+    )
+
+
 def kg_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-time bucketing (sources/bucketed.py): facts and chunks persisted
     bucketed by chunk_uuid, then joined with ZERO exchange on either side
@@ -908,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_facts_around": kg_facts_around,
         "kg_stats_counts": kg_stats_counts,
         "kg_bucketed_join": kg_bucketed_join,
+        "kg_stream_vectors": kg_stream_vectors,
         "kg_upsert_recrawl": kg_upsert_recrawl,
         "kg_byte_identity": kg_byte_identity,
         "kg_vectors": kg_vectors,

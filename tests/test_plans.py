@@ -35,6 +35,21 @@ def test_no_bnlj_in_or_join_rewrite(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_merge_upsert_broadcasts_update_side(spark, kg):
+    """Incremental MERGE plan shape: the anti-join against the recrawl key
+    set must broadcast the (tiny) update side — the corpus target never
+    shuffles for an upsert."""
+    from vanna_financial_knowledge_graph_spark.operators.upsert import merge_upsert
+
+    target = kg["chunks"]
+    updates = target.orderBy("chunk_uuid").limit(5)
+    merged = merge_upsert(target, updates, ["doc_uuid"])
+    merged.count()
+    p = _plan(merged)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_bucketed_join_no_exchange(spark, kg):
     """Co-located join via write-time bucketing: facts and chunks bucketed
     by chunk_uuid join with NO Exchange on either side (the persisted
