@@ -831,9 +831,11 @@ def kg_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kg_upsert_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl MERGE on the KG tables (reference update path,
-    backend.py:499-553): recrawl 5 urls with changed html -> per-doc
-    replace-merge of docs/chunks/mentions/facts_raw -> deterministic rebuild
-    of the graph-global tables. Returns per-table before/after row counts."""
+    backend.py:499-553): recrawl 5 urls whose new html DROPS every
+    'acquired' sentence -> per-doc replace-merge of docs/chunks/mentions/
+    facts_raw -> deterministic rebuild of the graph-global tables. Returns
+    per-table before/after row counts (facts shrink: the replace semantics
+    that row-keyed upsert cannot express)."""
     from vanna_financial_knowledge_graph_spark.operators.upsert import recrawl_upsert
 
     kg = _kg(spark, sf_dir)
@@ -844,7 +846,9 @@ def kg_upsert_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     modified = kg["pages"].where(F.col("url").isin(urls)).withColumn(
         "html",
         F.encode(
-            F.regexp_replace(F.decode("html", "utf-8"), "acquired", "sold"),
+            F.regexp_replace(
+                F.decode("html", "utf-8"), r"[^.<>]*acquired[^.<>]*\.", ""
+            ),
             "utf-8",
         ),
     )
