@@ -265,6 +265,49 @@ def test_dedup_collapse_cc_over_pair_endpoints_only(spark):
     assert mapping.where(F.col("doc_id") != F.col("kept_id")).count() == 0
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dedup_collapse_random_graph_vs_union_find(spark, seed):
+    """Randomized cross-check: collapse over a random pair graph (with
+    negative ids) must agree with a driver-side union-find."""
+    import random
+
+    rng = random.Random(seed)
+    ids = rng.sample(range(-50, 50), 40)
+    pairs = [
+        tuple(rng.sample(ids, 2)) for _ in range(25)
+    ]
+    docs = spark.createDataFrame([(i, f"t{i}") for i in ids], "doc_id long, text string")
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    _kept, mapping = D.dedup_collapse(docs, pdf)
+    got = {r["doc_id"]: r["kept_id"] for r in mapping.collect()}
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots: dict[int, int] = {}
+    for i in ids:
+        r = find(i)
+        roots.setdefault(r, r)
+    expect = {i: min(j for j in ids if find(j) == find(i)) for i in ids}
+    assert got == expect
+
+
+def test_dedup_collapse_pair_type_mismatch_raises(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    pairs = spark.createDataFrame([("1", "2")], "doc_a string, doc_b string")
+    with pytest.raises(TypeError, match="mismatched key types"):
+        D.dedup_collapse(docs, pairs)
+
+
 def test_embedding_near_dups_lsh_recall(spark):
     """Multi-table LSH blocking must recover (nearly) all true high-cosine
     pairs found by an exact all-pairs computation. Deterministic seeds."""

@@ -248,6 +248,14 @@ def dedup_collapse(
             f"dedup_collapse: unsupported id type {dtype!r} for {id_col!r} "
             "(expected string or integer)"
         )
+    pair_types = dict(pairs.dtypes)
+    for c in ("doc_a", "doc_b"):
+        if pair_types.get(c) != dtype:
+            raise TypeError(
+                f"dedup_collapse: pairs.{c} is {pair_types.get(c)!r} but "
+                f"{id_col!r} is {dtype!r} — mismatched key types would "
+                "null out silently in the key encoding"
+            )
 
     nodes = (
         pairs.select(_key("doc_a").alias("node"))
