@@ -316,6 +316,49 @@ def relevance_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event log (lag -> boundary flag ->
+    cumulative sum -> per-session agg; one user_id shuffle)."""
+    from vanna_financial_knowledge_graph_spark.operators.analytics import sessionize
+
+    out = sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+    return out.select(
+        "user_id",
+        "session_seq",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+        "n_events",
+        "duration_sec",
+    )
+
+
+def rollup_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(event_type, day): leaf counts + subtotals + grand total in one
+    Expand+aggregate."""
+    from vanna_financial_knowledge_graph_spark.operators.analytics import (
+        rollup_event_counts as _ru,
+    )
+
+    return _ru(_t(spark, sf_dir, "events"))
+
+
+def percentile_summary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p95 of value per event_type."""
+    from vanna_financial_knowledge_graph_spark.operators.analytics import (
+        percentile_summary,
+    )
+
+    return percentile_summary(_t(spark, sf_dir, "events"))
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the raw props column (codegen'd, no UDF)."""
+    from vanna_financial_knowledge_graph_spark.operators.analytics import (
+        json_props_extract as _jp,
+    )
+
+    return _jp(_t(spark, sf_dir, "events"))
+
+
 def stats_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for name in ["customer", "orders", "lineitem", "events", "documents"]:
@@ -907,6 +950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_dedup": union_dedup,
         "context_caps_events": context_caps_events,
         "relevance_split_events": relevance_split_events,
+        "sessionize_events": sessionize_events,
+        "rollup_event_counts": rollup_event_counts,
+        "percentile_summary_events": percentile_summary_events,
+        "json_props_extract": json_props_extract,
         "stats_counts": stats_counts,
         # training-data ops
         "dedup_exact_hash": dedup_exact_hash,
@@ -1084,6 +1131,54 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type, relevance
             ORDER BY event_type, relevance
+        """,
+        "sessionize_events": """
+            WITH flagged AS (
+                -- floor(epoch) everywhere: Spark's cast-to-long truncates
+                -- sub-second precision, so the oracle must too
+                SELECT user_id, event_id, ts,
+                       floor(epoch(ts)) AS es,
+                       CASE WHEN lag(floor(epoch(ts))) OVER w IS NULL
+                              OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT *, CAST(sum(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                  AS session_seq
+                FROM flagged
+            )
+            SELECT user_id, session_seq,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+                   count(*) AS n_events,
+                   CAST(max(es) - min(es) AS BIGINT) AS duration_sec
+            FROM sess
+            GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
+        """,
+        "rollup_event_counts": """
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY ROLLUP(event_type, day)
+            ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST
+        """,
+        "percentile_summary_events": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   count(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "json_props_extract": """
+            SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10)
+                     AS INT) AS k_bucket,
+                   count(*) AS n_events,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1 ORDER BY k_bucket
         """,
         "stats_counts": """
             SELECT * FROM (

@@ -1,0 +1,69 @@
+"""Event-log analytics operators: sessionization, rollup, percentiles,
+JSON extraction (operators/analytics.py). Oracle parity is covered by
+check_oracle / the driver; these are hand-computed semantic fixtures."""
+
+import datetime as dt
+
+from vanna_financial_knowledge_graph_spark.operators import analytics as A
+
+
+def _ts(minute: int, second: int = 0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Events 31 min apart split sessions; <=30 min stay together; session
+    stats are exact."""
+    events = spark.createDataFrame(
+        [
+            # user 1: two events 10 min apart, then a 31-min gap, then one
+            (1, _ts(0), 7, "click", 1.0, "{}"),
+            (2, _ts(10), 7, "view", 1.0, "{}"),
+            (3, _ts(41), 7, "click", 1.0, "{}"),
+            # user 2: single event
+            (4, _ts(5), 8, "error", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_sec"])
+        for r in A.sessionize(events, gap_minutes=30).collect()
+    }
+    assert got == {(7, 1): (2, 600), (7, 2): (1, 0), (8, 1): (1, 0)}
+
+
+def test_rollup_includes_subtotals_and_grand_total(spark):
+    events = spark.createDataFrame(
+        [
+            (1, _ts(0), 7, "click", 2.0, "{}"),
+            (2, _ts(1), 7, "click", 3.0, "{}"),
+            (3, _ts(2), 7, "view", 5.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = {
+        (r["event_type"], r["day"]): (r["n_events"], r["sum_value"])
+        for r in A.rollup_event_counts(events).collect()
+    }
+    assert rows[(None, None)] == (3, 10.0)          # grand total
+    assert rows[("click", None)] == (2, 5.0)        # per-type subtotal
+    assert rows[("click", "2024-01-01")] == (2, 5.0)
+    assert rows[("view", "2024-01-01")] == (1, 5.0)
+
+
+def test_percentile_and_json_extract(spark):
+    events = spark.createDataFrame(
+        [
+            (i, _ts(i), 7, "click", float(i), '{"k": %d}' % (i * 10))
+            for i in range(1, 6)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    p = A.percentile_summary(events).collect()[0]
+    assert p["p50"] == 3.0 and p["n"] == 5  # exact median of 1..5
+    jb = {r["k_bucket"]: r["n_events"] for r in A.json_props_extract(events).collect()}
+    # k = 10,20,30,40,50 -> buckets 1..5
+    assert jb == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
