@@ -35,6 +35,21 @@ def test_no_bnlj_in_or_join_rewrite(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_sessionize_single_data_shuffle(spark):
+    """Sessionization must hash-exchange exactly once (on user_id): the
+    compound groupBy reuses the window's partitioning (subset clustering)."""
+    import re
+
+    from vanna_financial_knowledge_graph_spark.operators.analytics import sessionize
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = sessionize(df)
+    out.count()
+    p = _plan(out)
+    hashes = set(re.findall(r"hashpartitioning\([^,)]*", p))
+    assert len(hashes) == 1 and "user_id" in next(iter(hashes)), hashes
+
+
 def test_merge_upsert_broadcasts_update_side(spark, kg):
     """Incremental MERGE plan shape: the anti-join against the recrawl key
     set must broadcast the (tiny) update side — the corpus target never

@@ -26,7 +26,14 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     gap to the previous event exceeds `gap_minutes`. Returns one row per
     session: (user_id, session_seq, session_start, session_end, n_events,
     duration_sec). The classic lag -> boundary-flag -> cumulative-sum
-    composition; everything windows over the single user_id shuffle."""
+    composition.
+
+    ONE data shuffle: the lag/cumsum windows exchange on user_id, and the
+    per-(user_id, session_seq) aggregate reuses that partitioning — Spark's
+    ClusteredDistribution is satisfied by hash partitioning on a SUBSET of
+    the grouping keys, so no second exchange (plan-asserted by
+    tests/test_plans.py::test_sessionize_single_data_shuffle). The only
+    other exchange in the plan is the presentation orderBy."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts may be TIMESTAMP_NTZ (parquet): cast through timestamp (session tz
     # is UTC) to get epoch seconds
