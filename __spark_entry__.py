@@ -359,6 +359,17 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jp(_t(spark, sf_dir, "events"))
 
 
+def distinct_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct sketch per event_type next to the exact count (the
+    bounded-memory 100TB path; deterministic for a fixed input, no DuckDB
+    oracle because the sketch estimate is implementation-defined)."""
+    from vanna_financial_knowledge_graph_spark.operators.analytics import (
+        distinct_user_sketch as _du,
+    )
+
+    return _du(_t(spark, sf_dir, "events"))
+
+
 def stats_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for name in ["customer", "orders", "lineitem", "events", "documents"]:
@@ -954,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_event_counts": rollup_event_counts,
         "percentile_summary_events": percentile_summary_events,
         "json_props_extract": json_props_extract,
+        "distinct_user_sketch": distinct_user_sketch,
         "stats_counts": stats_counts,
         # training-data ops
         "dedup_exact_hash": dedup_exact_hash,

@@ -53,6 +53,16 @@ def test_rollup_includes_subtotals_and_grand_total(spark):
     assert rows[("view", "2024-01-01")] == (1, 5.0)
 
 
+def test_hll_sketch_within_rsd(spark):
+    """approx_count_distinct stays within ~5 rsd of the exact count on the
+    driver testdata (HLL++ error is probabilistic but deterministic for a
+    fixed input)."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for r in A.distinct_user_sketch(events, rsd=0.02).collect():
+        err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert err <= 0.10, (r["event_type"], r["approx_users"], r["exact_users"])
+
+
 def test_percentile_and_json_extract(spark):
     events = spark.createDataFrame(
         [

@@ -96,6 +96,22 @@ def percentile_summary(events: DataFrame) -> DataFrame:
     )
 
 
+def distinct_user_sketch(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """HyperLogLog++ distinct-user counts per event_type alongside the
+    exact count — the sketch is THE 100TB path (bounded memory per group,
+    map-side mergeable; the exact distinct shuffles every distinct value).
+    rsd = target relative standard deviation. Error bound asserted in
+    tests/test_analytics.py::test_hll_sketch_within_rsd."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def json_props_extract(events: DataFrame) -> DataFrame:
     """JSON property extraction (F8 surface over raw logs): pull props.k
     with get_json_object (codegen'd path expression, no UDF), bucket it,
