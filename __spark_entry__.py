@@ -359,6 +359,30 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jp(_t(spark, sf_dir, "events"))
 
 
+def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew-defusing salted join (operators/skew.py): events join a
+    type dimension on the pathologically-hot event_type key via (key, salt)
+    so each hot key spreads over 8 reducers; result identical to the plain
+    join (oracle)."""
+    from vanna_financial_knowledge_graph_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("type_label", F.upper("event_type"))
+    )
+    return (
+        salted_join(e, dim, "event_type", salt_factor=8)
+        .groupBy("type_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("type_label")
+    )
+
+
 def distinct_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct sketch per event_type next to the exact count (the
     bounded-memory 100TB path; deterministic for a fixed input, no DuckDB
@@ -965,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_event_counts": rollup_event_counts,
         "percentile_summary_events": percentile_summary_events,
         "json_props_extract": json_props_extract,
+        "salted_join_events": salted_join_events,
         "distinct_user_sketch": distinct_user_sketch,
         "stats_counts": stats_counts,
         # training-data ops
@@ -1191,6 +1216,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(avg(value), 4) AS avg_value
             FROM events GROUP BY 1 ORDER BY k_bucket
+        """,
+        "salted_join_events": """
+            SELECT upper(event_type) AS type_label,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1 ORDER BY type_label
         """,
         "stats_counts": """
             SELECT * FROM (

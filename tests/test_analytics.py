@@ -53,6 +53,45 @@ def test_rollup_includes_subtotals_and_grand_total(spark):
     assert rows[("view", "2024-01-01")] == (1, 5.0)
 
 
+def test_salted_join_equals_plain_join(spark):
+    """Salted join must be row-for-row identical to the plain join on a
+    pathologically skewed key (one key holds 80% of the big side), for both
+    inner and left, and spread the hot key across multiple salt buckets."""
+    import pytest as _pytest
+
+    from vanna_financial_knowledge_graph_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [("AAPL" if i % 5 != 0 else f"k{i}", i, float(i)) for i in range(500)],
+        "sym string, event_id long, v double",
+    )
+    dim = spark.createDataFrame(
+        [("AAPL", "Apple Inc."), ("k5", "Other Co."), ("missing", "Nobody")],
+        "sym string, name string",
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(str, salted_join(big, dim, "sym", salt_factor=8, how=how).collect())
+        )
+        want = sorted(map(str, big.join(dim, "sym", how).collect()))
+        assert got == want, how
+
+    # the hot key actually spreads across salt buckets
+    from pyspark.sql import functions as F
+
+    salted = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("event_id", "v"), F.lit(8)),
+    )
+    n_buckets = (
+        salted.where(F.col("sym") == "AAPL").select("_salt").distinct().count()
+    )
+    assert n_buckets >= 6
+
+    with _pytest.raises(ValueError):
+        salted_join(big, dim, "sym", how="full")
+
+
 def test_hll_sketch_within_rsd(spark):
     """approx_count_distinct stays within ~5 rsd of the exact count on the
     driver testdata (HLL++ error is probabilistic but deterministic for a

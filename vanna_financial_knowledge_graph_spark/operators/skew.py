@@ -1,0 +1,60 @@
+"""Explicit skew-defusing joins (north-rule technique: salted joins for
+hot-entity keys like AAPL/SEC).
+
+Three complementary tools exist in this engine for skewed joins, in order
+of preference:
+
+1. **Broadcast** (dimension-sized small side) — no shuffle at all; used on
+   every gazetteer/canonical-map join. Skew is irrelevant.
+2. **AQE skew-join splitting** (`spark.sql.adaptive.skewJoin`, on in
+   session.py) — runtime splitting of oversized shuffle blocks for
+   sort-merge joins. Zero code, but only kicks in past size thresholds and
+   only for SMJ.
+3. **Explicit salting** (this module) — when the small side is too big to
+   broadcast and the key distribution is known-pathological (one entity in
+   a third of all rows), salt the big side and replicate the other side
+   across the salt space: the hot key's rows spread over `salt_factor`
+   reducers deterministically, independent of AQE's thresholds.
+
+The salt must be DETERMINISTIC (no rand(): it breaks retry/resume
+semantics — a recomputed task must produce the same rows). We derive it
+from xxhash64 over the row's other columns, which distributes a hot key's
+rows uniformly without any RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    other: DataFrame,
+    key: str,
+    salt_factor: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `big` ⋈ `other` on `key` with the hot-key shuffle defused.
+
+    big side: salt = pmod(xxhash64(all non-key columns), salt_factor) — a
+    deterministic spread of each key's rows across salt_factor buckets.
+    other side: replicated salt_factor times via posexplode of a literal
+    range (rows x salt_factor — acceptable when `other` is the smaller,
+    skew-prone-dimension side that still exceeds the broadcast threshold).
+    The join key becomes (key, salt): a key carrying 30% of the table now
+    lands on salt_factor reducers instead of one.
+
+    Semantics are EXACTLY the plain join's (asserted by
+    tests/test_analytics.py::test_salted_join_equals_plain_join): every
+    (big row, other row) pair with equal keys meets in exactly one salt
+    bucket. Supported how: inner / left (the shapes the read path uses)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    non_key = [c for c in big.columns if c != key]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in non_key]), F.lit(salt_factor))
+    b = big.withColumn("_salt", salt)
+    o = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
+    )
+    return b.join(o, [key, "_salt"], how).drop("_salt")
