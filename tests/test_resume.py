@@ -84,6 +84,21 @@ def test_group_id_isolation(spark, tiny_sf, tmp_path):
     assert {r["group_id"] for r in a["facts"].limit(5).collect()} == {"tenant_a"}
 
 
+def test_empty_input_flows_through(spark, tmp_path_factory, tmp_path):
+    """A 0-row documents.parquet flows through the whole DAG: every stage
+    writes, manifests record 0 rows, no errors, 0 facts (verify-skill
+    invariant #4)."""
+    d = tmp_path_factory.mktemp("empty_sf")
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    pq.write_table(src.slice(0, 0), str(d / "documents.parquet"))
+    out = PipelineRun(spark, str(d), str(tmp_path / "w_empty")).run()
+    assert out["facts"].count() == 0
+    assert out["entities"].count() == 0
+    assert out["chunks"].count() == 0
+    # schema intact so downstream readers don't break on the empty tables
+    assert "subject_name" in out["facts"].columns
+
+
 def test_byte_identity_holds_on_tiny(spark, tiny_sf, tmp_path):
     from vanna_financial_knowledge_graph_spark.operators.extract import (
         byte_identity_report,
