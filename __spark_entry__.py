@@ -635,6 +635,21 @@ def kg_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kg(spark, sf_dir)["topics"]
 
 
+def kg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_documents() (knowledge_graph.py:1110-1114): the documents table."""
+    return _kg(spark, sf_dir)["docs"]
+
+
+def kg_entities_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_entities(limit, offset) (knowledge_graph.py:1092-1102): paginated
+    entity listing over the real KG vertex table — W2 on the graph, planned
+    as TakeOrderedAndProject, not a single-task window."""
+    from vanna_financial_knowledge_graph_spark.operators.readpath import paginate
+
+    ents = _kg(spark, sf_dir)["entities"].select("uuid", "name", "entity_type")
+    return paginate(ents, "name", limit=50, offset=25)
+
+
 def kg_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kg(spark, sf_dir)["canonical_map"]
 
@@ -1015,6 +1030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_chunks": kg_chunks,
         "kg_mentions": kg_mentions,
         "kg_topics": kg_topics,
+        "kg_documents": kg_documents,
+        "kg_entities_page": kg_entities_page,
         "kg_canonical_map": kg_canonical_map,
         "kg_two_hop_neighbors": kg_two_hop_neighbors,
         "kg_one_hop_chunks": kg_one_hop_chunks,
