@@ -52,7 +52,13 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     non_key = [c for c in big.columns if c != key]
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in non_key]), F.lit(salt_factor))
+    # degenerate key-only frame: nothing to derive a spread from (and
+    # nothing to gain — the join output is key-only anyway)
+    salt = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in non_key]), F.lit(salt_factor))
+        if non_key
+        else F.lit(0)
+    )
     b = big.withColumn("_salt", salt)
     o = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
