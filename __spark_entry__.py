@@ -871,17 +871,16 @@ def kg_stream_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams through the SAME deterministic encoder with AvailableNow
     exactly-once semantics (streaming/stream.incremental_vectors); output is
     byte-equal to the batch path, so the row hash is deterministic."""
-    import hashlib
-    import shutil
+    import tempfile
 
     from vanna_financial_knowledge_graph_spark.streaming.stream import (
         incremental_vectors,
     )
 
     kg = _kg(spark, sf_dir)
-    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    base = f"/tmp/vkg_stream_entry/{tag}"
-    shutil.rmtree(base, ignore_errors=True)
+    # per-process private dir: a fixed path keyed on sf_dir would let two
+    # concurrent drivers (pytest + bench) clobber each other's stream state
+    base = tempfile.mkdtemp(prefix="vkg_stream_entry_")
     kg["chunks"].write.mode("overwrite").parquet(f"{base}/chunks")
     incremental_vectors(
         spark, f"{base}/chunks", f"{base}/vecs", f"{base}/ckpt"

@@ -90,6 +90,8 @@ def test_salted_join_equals_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_join(big, dim, "sym", how="full")
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(big.withColumn("_salt", F.lit(1)), dim, "sym")
 
 
 def test_hll_sketch_within_rsd(spark):

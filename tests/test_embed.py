@@ -295,6 +295,49 @@ def test_upsert_parquet_in_place(spark, tmp_path):
     assert again.count() == 3
 
 
+def test_upsert_parquet_crash_recovery(spark, tmp_path):
+    """A retry after a crash BETWEEN the two renames (path absent, .__old__
+    = original, .__tmp__ = complete merged copy) must restore the original
+    and re-apply the merge — never delete the only surviving copies."""
+    import os
+    import shutil
+
+    from vanna_financial_knowledge_graph_spark.operators.upsert import upsert_parquet
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, name string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], "k long, name string")
+
+    # simulate the mid-swap crash state
+    shutil.copytree(path, path + ".__tmp__")  # stand-in for the merged copy
+    os.rename(path, path + ".__old__")
+    assert not os.path.exists(path)
+
+    out = upsert_parquet(spark, path, updates, ["k"])
+    assert {(r["k"], r["name"]) for r in out.collect()} == {
+        (1, "a"), (2, "B"), (3, "c")
+    }
+    assert not os.path.exists(path + ".__old__")
+    assert not os.path.exists(path + ".__tmp__")
+
+
+def test_build_context_rejects_unknown_caps(spark, kg):
+    """The pre-round-3 per-source caps contract must fail loudly, not fall
+    back to defaults silently."""
+    import pytest as _pytest
+
+    from vanna_financial_knowledge_graph_spark.operators.context import build_context
+
+    with _pytest.raises(ValueError, match="unknown caps keys"):
+        build_context(
+            spark, kg["entities"], kg["relationships"], kg["chunks"],
+            kg["vectors"], "Apple Inc.", "earnings",
+            caps={"entity": 5, "neighbor": 4, "topic": 3, "global": 2},
+        )
+
+
 def test_embedding_near_dup_paths_agree(spark, tmp_path):
     from vanna_financial_knowledge_graph_spark.operators.dedup import (
         embedding_near_dups,

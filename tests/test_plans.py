@@ -199,10 +199,13 @@ def test_context_build_no_cartesian_no_smj_on_chunks(spark, kg):
         build_context,
     )
 
+    # materialize=False exposes the full lazy composition for inspection
+    # (the default eagerly checkpoints the tiny selection and releases the
+    # internal caches, which hides the upstream joins from the final plan)
     p = _plan(
         build_context(
             spark, kg["entities"], kg["relationships"], kg["chunks"],
-            kg["vectors"], "Apple Inc.", "earnings",
+            kg["vectors"], "Apple Inc.", "earnings", materialize=False,
         )
     )
     assert "CartesianProduct" not in p

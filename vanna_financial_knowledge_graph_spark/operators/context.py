@@ -41,14 +41,29 @@ def build_context(
     caps: dict[str, int] | None = None,
     relevance_threshold: float = 0.2,
     group_id: str = "default",
+    materialize: bool = True,
 ) -> DataFrame:
     """-> (chunk_uuid, source, relevance, score, content) context rows.
 
     relevance is 'high'/'low' for entity/neighbor/global-sourced chunks
     (tier caps caps['high']/caps['low']) and 'topic' for topic-sourced
     chunks (their own dedup + caps['topic'], matching the reference's
-    separate topic_chunks category)."""
+    separate topic_chunks category).
+
+    materialize=True (default) eagerly computes the tiny capped selection
+    and RELEASES the internal caches before returning — the right mode for
+    a long-lived session answering many questions. materialize=False
+    returns the fully lazy plan (for composition or plan inspection); the
+    shared seed-edge/chunk-score branches stay cached and the CALLER owns
+    their lifetime."""
     caps = caps or DEFAULT_CAPS
+    unknown = set(caps) - set(DEFAULT_CAPS)
+    if unknown:
+        raise ValueError(
+            f"build_context: unknown caps keys {sorted(unknown)} — expected "
+            f"a subset of {sorted(DEFAULT_CAPS)} (per-source caps were "
+            "replaced by reference relevance-TIER caps in round 3)"
+        )
 
     seed = entities.where(
         (F.lower(F.col("name")) == entity_name.lower())
@@ -175,7 +190,15 @@ def build_context(
     topic_only = topic_capped.join(
         capped.select("chunk_uuid"), "chunk_uuid", "left_anti"
     )
+    # eagerly materialize the (tiny: <= high+low+topic rows) selection, then
+    # RELEASE the two cached branches — a long-lived session answers many
+    # questions, and each distinct (entity, query) pair would otherwise pin
+    # a fresh corpus-sized score cache in executor storage forever
     final = capped.unionByName(topic_only)
+    if materialize:
+        final = final.localCheckpoint(eager=True)
+        seed_edges.unpersist()
+        scored_vecs.unpersist()
 
     return (
         final.join(

@@ -51,6 +51,11 @@ def salted_join(
     bucket. Supported how: inner / left (the shapes the read path uses)."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if "_salt" in big.columns or "_salt" in other.columns:
+        raise ValueError(
+            "salted_join: an input already has a '_salt' column — it would "
+            "be silently overwritten/dropped; rename it first"
+        )
     non_key = [c for c in big.columns if c != key]
     # degenerate key-only frame: nothing to derive a spread from (and
     # nothing to gain — the join output is key-only anyway)

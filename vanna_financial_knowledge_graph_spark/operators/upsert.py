@@ -41,17 +41,36 @@ def upsert_parquet(
     """Apply merge_upsert to a materialized table in place (the parquet
     stand-in for `MERGE INTO` on Iceberg).
 
-    Crash-safe commit protocol: the merged rows are written to a SIBLING
-    temp directory while the original files stay untouched (the write plan
-    reads them directly — no checkpoint copy needed), then the directories
-    swap via two renames and the old table is deleted only after the new one
-    is fully in place. A failure at any step leaves either the original or
-    the complete new table on disk — never a half-written one. (On Iceberg
-    this whole dance is the snapshot commit; on HDFS/S3A the rename maps to
-    the committer's atomic rename/complete-multipart.)"""
+    Crash-safe commit protocol (local/POSIX paths): the merged rows are
+    written to a SIBLING temp directory while the original files stay
+    untouched (the write plan reads them directly — no checkpoint copy
+    needed), then the directories swap via two renames and the old table is
+    deleted only after the new one is fully in place. A failure at any step
+    leaves either the original or the complete new table recoverable on
+    disk, and a RETRY first restores the original if a previous run died
+    between the two renames — never unconditionally deleting the only
+    surviving copy. Re-running after any crash is safe: the merge is
+    replace-per-key, so applying the same updates twice is idempotent.
+
+    Non-POSIX table URIs (hdfs://, s3a://, file:) can't be renamed with os
+    primitives; for those the merge falls back to checkpoint-then-overwrite
+    (materialize the merged rows first so the overwrite never reads the
+    files it replaces — the pre-round-3 protocol; not crash-atomic, which
+    on a real cluster is Iceberg's snapshot commit job, out of scope for
+    the parquet stand-in)."""
+    if "://" in path or path.startswith("file:"):
+        target = spark.read.parquet(path)
+        merged = merge_upsert(target, updates, keys).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     path = path.rstrip("/")
     tmp = path + ".__tmp__"
     old = path + ".__old__"
+    # crash recovery: a previous run that died between the two renames left
+    # path absent with old = the original — restore it before cleaning up
+    if not os.path.exists(path) and os.path.isdir(old):
+        os.rename(old, path)
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     target = spark.read.parquet(path)

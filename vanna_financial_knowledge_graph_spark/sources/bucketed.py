@@ -35,16 +35,26 @@ def write_bucketed(
     """Persist df hash-bucketed (and bucket-sorted) by `key` as a saved
     table. Overwrites an existing table of the same name (including a stale
     warehouse location orphaned by a previous session — the default catalog
-    is in-memory, so DROP TABLE alone cannot see it)."""
+    is in-memory, so DROP TABLE alone cannot see it). Stale-location wipe
+    handles `db.table` names (Spark lays them out as <wh>/<db>.db/<table>)
+    and is attempted only for local warehouse dirs — on hdfs://s3a://
+    warehouses the cleanup is the catalog service's job."""
     import os
     import shutil
 
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    loc = os.path.join(wh.removeprefix("file:"), table_name.lower())
-    if wh and os.path.isdir(loc):
-        shutil.rmtree(loc, ignore_errors=True)
+    if wh and "://" not in wh.removeprefix("file://"):
+        parts = table_name.lower().split(".")
+        rel = (
+            os.path.join(f"{parts[0]}.db", parts[1])
+            if len(parts) == 2
+            else parts[-1]
+        )
+        loc = os.path.join(wh.removeprefix("file://").removeprefix("file:"), rel)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     writer = (
         df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     )
