@@ -94,6 +94,47 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(big.withColumn("_salt", F.lit(1)), dim, "sym")
 
 
+def test_salted_join_row_id_spreads_duplicate_rows(spark):
+    """Deterministic-salt caveat: fully duplicate hot-key rows collapse to
+    one salt bucket; passing a stable row_id spreads them (ADVICE r3)."""
+    from pyspark.sql import functions as F
+
+    from vanna_financial_knowledge_graph_spark.operators.skew import salted_join
+
+    # 400 rows of a hot key with IDENTICAL payload + a unique row id
+    big = spark.createDataFrame(
+        [("AAPL", "same", i) for i in range(400)] + [("MSFT", "x", 1000)],
+        "sym string, payload string, rid long",
+    )
+    dim = spark.createDataFrame(
+        [("AAPL", "Apple Inc."), ("MSFT", "Microsoft")], "sym string, name string"
+    )
+    # payload-hash salt: every duplicate row lands in ONE bucket
+    no_id = big.drop("rid").withColumn(
+        "_salt", F.pmod(F.xxhash64("payload"), F.lit(8))
+    )
+    assert (
+        no_id.where(F.col("sym") == "AAPL").select("_salt").distinct().count() == 1
+    )
+    # row_id salt: the same rows spread
+    with_id = big.withColumn(
+        "_salt", F.pmod(F.xxhash64("sym", "rid"), F.lit(8))
+    )
+    assert (
+        with_id.where(F.col("sym") == "AAPL").select("_salt").distinct().count() >= 6
+    )
+    # and the join result stays exactly the plain join's
+    got = sorted(
+        map(str, salted_join(big, dim, "sym", salt_factor=8, row_id="rid").collect())
+    )
+    want = sorted(map(str, big.join(dim, "sym").collect()))
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="row_id"):
+        salted_join(big, dim, "sym", row_id="nope")
+
+
 def test_hll_sketch_within_rsd(spark):
     """approx_count_distinct stays within ~5 rsd of the exact count on the
     driver testdata (HLL++ error is probabilistic but deterministic for a

@@ -203,6 +203,72 @@ def test_context_caps_respected_hand_fixture(spark):
     assert sum(1 for _, s in got if s == "global") <= 1
 
 
+def test_context_neighbor_chunks_bidirectional(spark):
+    """A top-k neighbor contributes chunks from edges where it is EITHER
+    endpoint (reference researcher.py:732-769 uses the full J2 OR-join per
+    neighbor): a chunk reachable only via neighbor-as-OBJECT must appear."""
+    from vanna_financial_knowledge_graph_spark.operators.context import build_context
+    from vanna_financial_knowledge_graph_spark.operators.embed import with_embedding
+
+    ents = spark.createDataFrame(
+        [("e1", "Acme", "", "company", [], "default"),
+         ("e2", "Bolt", "", "company", [], "default"),
+         ("e3", "Corp", "", "company", [], "default")],
+        "uuid string, name string, summary string, entity_type string, "
+        "aliases array<string>, group_id string",
+    )
+    # e2 is Acme's only neighbor; c4 attaches to edge e3 -> e2, i.e. the
+    # neighbor appears only as the OBJECT endpoint there
+    rels = spark.createDataFrame(
+        [("r1", "e1", "entity", "e2", "entity", "R", "c1", "f1", "", "", "default"),
+         ("r2", "e3", "entity", "e2", "entity", "R", "c4", "f2", "", "", "default")],
+        "id string, from_uuid string, from_type string, to_uuid string, "
+        "to_type string, rel_type string, chunk_uuid string, fact_id string, "
+        "description string, date_context string, group_id string",
+    )
+    chunks = spark.createDataFrame(
+        [("c1", "Acme partnered with Bolt.", "default"),
+         ("c4", "Corp sued Bolt over patents.", "default"),
+         ("c5", "Unrelated filler text.", "default")],
+        "chunk_uuid string, content string, group_id string",
+    )
+    vectors = with_embedding(
+        chunks.select(
+            F.lit("chunk").alias("kind"),
+            F.col("chunk_uuid").alias("uuid"),
+            F.col("content").alias("text"),
+            "group_id",
+        ),
+        "text",
+    ).drop("text")
+    ctx = build_context(
+        spark, ents, rels, chunks, vectors, "Acme", "lawsuit",
+        caps={"high": 10, "low": 10, "topic": 10, "global": 0},
+    ).collect()
+    by_chunk = {r["chunk_uuid"]: r["source"] for r in ctx}
+    assert by_chunk.get("c4") == "neighbor", by_chunk
+    assert "c5" not in by_chunk
+
+
+def test_context_lazy_mode_returns_cache_handles(spark, kg):
+    """materialize=False with caches=[] hands the internal cached branches
+    to the caller so composed usage can release them (ADVICE r3)."""
+    from vanna_financial_knowledge_graph_spark.operators.context import build_context
+
+    handles = []
+    ctx = build_context(
+        spark, kg["entities"], kg["relationships"], kg["chunks"],
+        kg["vectors"], "Apple Inc.", "earnings",
+        materialize=False, caches=handles,
+    )
+    assert ctx.count() > 0
+    assert len(handles) == 3
+    for h in handles:
+        assert h.is_cached
+        h.unpersist()
+    assert not any(h.is_cached for h in handles)
+
+
 def test_recrawl_upsert_equals_from_scratch(spark, kg):
     """Incremental-crawl MERGE: recrawl 3 urls with changed html, merge into
     the existing KG tables, and assert every table is row-equal to a

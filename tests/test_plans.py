@@ -168,7 +168,7 @@ def test_whole_stage_codegen_in_textstats(spark):
 
 @pytest.mark.parametrize(
     "qname",
-    ["window_dedup_max", "topk_by_count", "union_dedup", "semi_join_around"],
+    ["window_dedup_max", "topk_by_count", "union_dedup", "semi_join_around_between"],
 )
 def test_no_cartesian_anywhere(spark, qname):
     import __spark_entry__ as e

@@ -113,6 +113,60 @@ def test_facts_around_and_between(spark, kg):
         }
 
 
+def test_facts_date_filtered(spark, kg):
+    """Reference get_facts_by_entities date path (queries.py:395-430): the
+    date bounds sit on the LEFT-JOINed chunk's document_date, the top-N is
+    ordered by it DESC NULLS LAST, and output keeps only fact columns."""
+    import pyspark.sql.functions as F
+
+    facts, chunks = kg["facts"], kg["chunks"]
+    # corpus chunks all carry document_date 2025-06-01: a window containing
+    # it keeps every dated Apple fact, a window before it keeps none
+    out_in = R.facts_for_entities(
+        facts, ["Apple Inc."], "around", limit=10**6,
+        chunks=chunks, date_from="2025-01-01", date_to="2025-12-31",
+    )
+    assert out_in.columns == facts.columns
+    n_in = out_in.count()
+    assert n_in > 0
+    out_none = R.facts_for_entities(
+        facts, ["Apple Inc."], "around", limit=10**6,
+        chunks=chunks, date_from="2000-01-01", date_to="2024-12-31",
+    )
+    assert out_none.count() == 0
+
+    # hand fixture: date ordering DESC NULLS LAST + null-date drop when a
+    # bound is set (the reference's WHERE sits on the left-joined column)
+    f2 = spark.createDataFrame(
+        [("f1", "Apple Inc.", "X", "c1", "default"),
+         ("f2", "Apple Inc.", "Y", "c2", "default"),
+         ("f3", "Apple Inc.", "Z", "c-missing", "default")],
+        "uuid string, subject_name string, object_name string, "
+        "chunk_uuid string, group_id string",
+    )
+    c2 = spark.createDataFrame(
+        [("c1", "2024-01-01", "default"), ("c2", "2024-06-01", "default")],
+        "chunk_uuid string, document_date string, group_id string",
+    )
+    # no date bounds: undated fact survives, sorted NULLS LAST
+    rows = R.facts_for_entities(
+        f2, ["Apple Inc."], "around", limit=10, chunks=c2
+    ).collect()
+    assert [r["uuid"] for r in rows] == ["f2", "f1", "f3"]
+    # a bound drops the undated fact
+    rows = R.facts_for_entities(
+        f2, ["Apple Inc."], "around", limit=10, chunks=c2,
+        date_from="2024-03-01",
+    ).collect()
+    assert [r["uuid"] for r in rows] == ["f2"]
+    # date args without the chunks table must fail loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        R.facts_for_entities(facts, ["Apple Inc."], date_from="2020-01-01")
+    _ = F
+
+
 def test_kg_stats(spark, graph):
     entities, topics, rels, chunks = graph
     rows = {

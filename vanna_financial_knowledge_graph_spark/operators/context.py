@@ -8,10 +8,15 @@ split), returned as ONE composed DataFrame — the query a reference user
 actually runs per question.
 
 Plan shape at scale: every driver of the composition (seed entity row,
-neighbor uuid set, topic uuid set, query vector) is dimension-sized and
-broadcast; the chunk table — the 100TB side — is scanned once for scoring
-and joined only against broadcast hit sets. The global source is a
-TakeOrderedAndProject top-k, not a full sort.
+neighbor uuid set, topic uuid set, query vector, candidate chunk-id set) is
+dimension-sized and broadcast. The chunk-vector table — the 100TB side — is
+scanned with the cosine evaluated corpus-wide exactly ONCE (the global
+top-k, a TakeOrderedAndProject, never a full sort); every other score is
+computed only for the hit-set∪top-k candidate rows via a broadcast
+semi-style join, so the expensive aggregate-HOF cosine runs over at most a
+few hundred rows outside that single pass. The final capped selection is
+<= high+low+topic rows: materialize=True collects it driver-side (one job,
+no checkpoint write) and releases every internal cache before returning.
 """
 
 from __future__ import annotations
@@ -42,6 +47,7 @@ def build_context(
     relevance_threshold: float = 0.2,
     group_id: str = "default",
     materialize: bool = True,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """-> (chunk_uuid, source, relevance, score, content) context rows.
 
@@ -50,12 +56,14 @@ def build_context(
     chunks (their own dedup + caps['topic'], matching the reference's
     separate topic_chunks category).
 
-    materialize=True (default) eagerly computes the tiny capped selection
-    and RELEASES the internal caches before returning — the right mode for
-    a long-lived session answering many questions. materialize=False
-    returns the fully lazy plan (for composition or plan inspection); the
-    shared seed-edge/chunk-score branches stay cached and the CALLER owns
-    their lifetime."""
+    materialize=True (default) collects the tiny capped selection to the
+    driver (one job) and RELEASES the internal caches before returning —
+    the right mode for a long-lived session answering many questions.
+    materialize=False returns the fully lazy plan (for composition or plan
+    inspection); the internal cached branches stay alive and the CALLER
+    owns their lifetime — pass `caches=[]` to receive the cached DataFrames
+    and unpersist them when done (without the handle the only release path
+    is spark.catalog.clearCache())."""
     caps = caps or DEFAULT_CAPS
     unknown = set(caps) - set(DEFAULT_CAPS)
     if unknown:
@@ -72,11 +80,9 @@ def build_context(
     r = relationships.where(F.col("group_id") == group_id)
 
     # J2 union rewrite: edges touching the seed from either endpoint.
-    # seed_edges is SEED-SIZED (one entity's incident edges) but feeds FIVE
-    # consumers below (entity source, both neighbor directions, seed topics)
-    # — materialize it once so the edge table (the 100TB side) is scanned
-    # exactly twice in the whole plan (here + src_neighbor/src_topic below)
-    # instead of once per consumer.
+    # seed_edges is SEED-SIZED (one entity's incident edges) but feeds
+    # several consumers below (entity source, neighbor ranking, seed topics)
+    # — cache it once so the edge table is not re-scanned per consumer.
     e_from = r.join(F.broadcast(seed), r["from_uuid"] == F.col("euuid")).withColumn(
         "dir", F.lit("from")
     )
@@ -85,13 +91,13 @@ def build_context(
     )
     # cache, not localCheckpoint: same scan-once property for the plan's
     # many consumers, but materialization happens inside the main action
-    # instead of as a separate checkpoint job (measured ~2x less first-call
-    # latency; steady-state identical)
+    # instead of as a separate checkpoint job
     seed_edges = (
         e_from.unionByName(e_to)
         .select("from_uuid", "to_uuid", "to_type", "chunk_uuid", "euuid", "dir")
         .cache()
     )
+    internal_caches = [seed_edges]
 
     src_entity = (
         seed_edges.select("chunk_uuid")
@@ -118,9 +124,18 @@ def build_context(
         .limit(k_neighbors)
         .select("nuuid")
     )
+    # a neighbor's chunks come from edges where the neighbor is EITHER
+    # endpoint — the reference fetches per-neighbor chunks via the full J2
+    # OR-join (researcher.py:732-769 -> queries.py:460-502); matching only
+    # from_uuid would silently drop chunks where the neighbor is the object
     src_neighbor = (
         r.join(F.broadcast(neighbors), r["from_uuid"] == F.col("nuuid"))
         .select("chunk_uuid")
+        .union(
+            r.join(F.broadcast(neighbors), r["to_uuid"] == F.col("nuuid")).select(
+                "chunk_uuid"
+            )
+        )
         .distinct()
         .withColumn("source", F.lit("neighbor"))
     )
@@ -139,31 +154,48 @@ def build_context(
         .withColumn("source", F.lit("topic"))
     )
 
-    # global semantic source: top-k chunks by cosine vs the query vector
+    # global semantic source: top-k chunks by cosine vs the query vector.
+    # This is the ONE corpus-wide cosine pass — a TakeOrderedAndProject, so
+    # only k rows survive it; the result (k rows) is cached because it feeds
+    # both the source union and the candidate hit set below.
     q_emb = F.array(*[F.lit(x) for x in embed_text(query_text, EMBED_DIM)])
     chunk_vecs = vectors.where(
         (F.col("kind") == "chunk") & (F.col("group_id") == group_id)
     ).select(F.col("uuid").alias("chunk_uuid"), "embedding")
-    # scored once, consumed three times (global top-k + non-topic scoring +
-    # topic scoring): cache materializes the per-chunk scores so the cosine
-    # over the full chunk-vector table runs once in the final plan
-    scored_vecs = (
+    src_global = (
         chunk_vecs.withColumn("emb_q", q_emb)
+        .withColumn("score", cosine_expr("embedding", "emb_q"))
+        .orderBy(F.desc("score"), "chunk_uuid")
+        .limit(caps.get("global", 10))
+        .select("chunk_uuid")
+        .withColumn("source", F.lit("global"))
+        .cache()
+    )
+    internal_caches.append(src_global)
+
+    # SET1 union of NON-TOPIC sources (reference: all_chunks = entity +
+    # neighbor + global, context_builder.py:87-89)
+    all_src = src_entity.unionByName(src_neighbor).unionByName(src_global)
+
+    # score ONLY the candidate hit set (entity ∪ neighbor ∪ global ∪ topic
+    # chunk ids — a few hundred rows at most): broadcast the id set against
+    # the chunk-vector table and evaluate the cosine post-join, so the
+    # expensive expression never runs corpus-wide here
+    hit_ids = (
+        all_src.select("chunk_uuid")
+        .union(src_topic.select("chunk_uuid"))
+        .distinct()
+    )
+    scored_hits = (
+        chunk_vecs.join(F.broadcast(hit_ids), "chunk_uuid")
+        .withColumn("emb_q", q_emb)
         .withColumn("score", cosine_expr("embedding", "emb_q"))
         .select("chunk_uuid", "score")
         .cache()
     )
-    src_global = (
-        scored_vecs.orderBy(F.desc("score"), "chunk_uuid")
-        .limit(caps.get("global", 10))
-        .select("chunk_uuid")
-        .withColumn("source", F.lit("global"))
-    )
+    internal_caches.append(scored_hits)
 
-    # SET1 union of NON-TOPIC sources (reference: all_chunks = entity +
-    # neighbor + global, context_builder.py:87-89), scored per (chunk, source)
-    all_src = src_entity.unionByName(src_neighbor).unionByName(src_global)
-    scored = all_src.join(scored_vecs.select("chunk_uuid", "score"), "chunk_uuid")
+    scored = all_src.join(scored_hits, "chunk_uuid")
 
     # A8: one row per chunk, max score (source tie broken deterministically)
     deduped = dedup_max_score(scored, "chunk_uuid", "score")
@@ -175,9 +207,7 @@ def build_context(
 
     # topic chunks: separate dedup + cap (context_builder.py:98-100); tagged
     # relevance='topic' — their own category, never in the high/low split
-    topic_scored = src_topic.join(
-        scored_vecs.select("chunk_uuid", "score"), "chunk_uuid"
-    )
+    topic_scored = src_topic.join(scored_hits, "chunk_uuid")
     topic_capped = (
         dedup_max_score(topic_scored, "chunk_uuid", "score")
         .orderBy(F.desc("score"), "chunk_uuid")
@@ -186,19 +216,25 @@ def build_context(
     )
 
     # a chunk already admitted via the high/low tiers wins over its topic
-    # copy (global uniqueness of chunk_uuid in the final context)
+    # copy (global uniqueness of chunk_uuid in the final context; documented
+    # divergence from the reference, which lists topic_chunks separately and
+    # CAN repeat a chunk_id across categories — see COVERAGE.md)
     topic_only = topic_capped.join(
         capped.select("chunk_uuid"), "chunk_uuid", "left_anti"
     )
-    # eagerly materialize the (tiny: <= high+low+topic rows) selection, then
-    # RELEASE the two cached branches — a long-lived session answers many
-    # questions, and each distinct (entity, query) pair would otherwise pin
-    # a fresh corpus-sized score cache in executor storage forever
     final = capped.unionByName(topic_only)
     if materialize:
-        final = final.localCheckpoint(eager=True)
-        seed_edges.unpersist()
-        scored_vecs.unpersist()
+        # the selection is <= high+low+topic rows: collect it driver-side
+        # (ONE job, no checkpoint write) and release every internal cache —
+        # a long-lived session answers many questions, and each distinct
+        # (entity, query) pair would otherwise pin caches forever
+        rows = final.collect()
+        schema = final.schema
+        for c in internal_caches:
+            c.unpersist()
+        final = spark.createDataFrame(rows, schema)
+    elif caches is not None:
+        caches.extend(internal_caches)
 
     return (
         final.join(

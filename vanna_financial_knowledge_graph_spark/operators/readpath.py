@@ -130,19 +130,51 @@ def facts_for_entities(
     mode: str = "around",
     limit: int = 50,
     group_id: str = "default",
+    chunks: DataFrame | None = None,
+    date_from: str | None = None,
+    date_to: str | None = None,
 ) -> DataFrame:
     """Wide-net fact lookup (J5/J6): mode 'around' = subject OR object in the
-    name set; 'between' = both endpoints in the set. Date-ordered top-N
-    (ORDER BY date_context DESC NULLS LAST LIMIT, queries.py:356-358)."""
+    name set; 'between' = both endpoints in the set.
+
+    When `chunks` is given, each fact LEFT JOINs its chunk for
+    document_date, optional date_from/date_to filter on it, and the top-N is
+    ordered by document_date DESC NULLS LAST — exactly the reference's
+    get_facts_by_entities date path (queries.py:395-430: the date predicate
+    sits on the left-joined chunk column, so undated facts drop when a date
+    bound is set). Without `chunks` the order falls back to the fact's own
+    date_context (queries.py:356-358). The chunk side is projected to
+    (chunk_uuid, document_date) before the join — at scale a
+    dimension-vs-fact equi-join that bucketing co-locates.
+
+    Output columns are the fact columns only (reference SELECT f.*)."""
+    if (date_from or date_to) and chunks is None:
+        raise ValueError(
+            "facts_for_entities: date_from/date_to need the chunks table "
+            "(document_date lives on the chunk, queries.py:412-417)"
+        )
     names = [n.lower() for n in entity_names]
     f = facts.where(F.col("group_id") == group_id)
     subj_in = F.lower(F.col("subject_name")).isin(names)
     obj_in = F.lower(F.col("object_name")).isin(names)
     cond = (subj_in | obj_in) if mode == "around" else (subj_in & obj_in)
+    f = f.where(cond)
+    if chunks is None:
+        return f.orderBy(F.desc_nulls_last("date_context"), "uuid").limit(limit)
+    fact_cols = f.columns
+    c = chunks.where(F.col("group_id") == group_id).select(
+        F.col("chunk_uuid").alias("__cuuid"),
+        F.col("document_date").alias("__doc_date"),
+    )
+    j = f.join(c, f["chunk_uuid"] == F.col("__cuuid"), "left")
+    if date_from is not None:
+        j = j.where(F.col("__doc_date") >= date_from)
+    if date_to is not None:
+        j = j.where(F.col("__doc_date") <= date_to)
     return (
-        f.where(cond)
-        .orderBy(F.desc_nulls_last("date_context"), "uuid")
+        j.orderBy(F.desc_nulls_last("__doc_date"), "uuid")
         .limit(limit)
+        .select(*fact_cols)
     )
 
 

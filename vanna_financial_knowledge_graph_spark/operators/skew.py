@@ -34,6 +34,7 @@ def salted_join(
     key: str,
     salt_factor: int = 16,
     how: str = "inner",
+    row_id: str | None = None,
 ) -> DataFrame:
     """Equi-join `big` ⋈ `other` on `key` with the hot-key shuffle defused.
 
@@ -44,6 +45,14 @@ def salted_join(
     skew-prone-dimension side that still exceeds the broadcast threshold).
     The join key becomes (key, salt): a key carrying 30% of the table now
     lands on salt_factor reducers instead of one.
+
+    CAVEAT (deterministic-salt limitation): rows of a hot key that are
+    FULLY duplicate across the non-key columns hash to the same salt
+    bucket, so skew survives on duplicate-heavy inputs. When the caller has
+    a stable unique row id, pass it as `row_id` — the salt then hashes only
+    (key, row_id), which spreads even identical payload rows. rand() is NOT
+    an option: a recomputed task must produce the same rows (resume/retry
+    contract).
 
     Semantics are EXACTLY the plain join's (asserted by
     tests/test_analytics.py::test_salted_join_equals_plain_join): every
@@ -56,14 +65,19 @@ def salted_join(
             "salted_join: an input already has a '_salt' column — it would "
             "be silently overwritten/dropped; rename it first"
         )
+    if row_id is not None and row_id not in big.columns:
+        raise ValueError(f"salted_join: row_id {row_id!r} not in big side")
     non_key = [c for c in big.columns if c != key]
     # degenerate key-only frame: nothing to derive a spread from (and
     # nothing to gain — the join output is key-only anyway)
-    salt = (
-        F.pmod(F.xxhash64(*[F.col(c) for c in non_key]), F.lit(salt_factor))
-        if non_key
-        else F.lit(0)
-    )
+    if row_id is not None:
+        salt = F.pmod(F.xxhash64(F.col(key), F.col(row_id)), F.lit(salt_factor))
+    elif non_key:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in non_key]), F.lit(salt_factor)
+        )
+    else:
+        salt = F.lit(0)
     b = big.withColumn("_salt", salt)
     o = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
