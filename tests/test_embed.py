@@ -250,6 +250,43 @@ def test_context_neighbor_chunks_bidirectional(spark):
     assert "c5" not in by_chunk
 
 
+def test_context_modes_agree(spark, kg):
+    """The staged driver-assisted path (materialize=True) and the single
+    lazy plan (materialize=False) must produce identical context rows."""
+    from vanna_financial_knowledge_graph_spark.operators.context import build_context
+
+    kwargs = dict(
+        entity_name="Apple Inc.",
+        query_text="earnings in the technology sector",
+        caps={"high": 7, "low": 5, "topic": 4, "global": 3},
+    )
+    handles = []
+    eager = build_context(
+        spark, kg["entities"], kg["relationships"], kg["chunks"],
+        kg["vectors"], materialize=True, **kwargs,
+    ).collect()
+    lazy = build_context(
+        spark, kg["entities"], kg["relationships"], kg["chunks"],
+        kg["vectors"], materialize=False, caches=handles, **kwargs,
+    ).collect()
+    for h in handles:
+        h.unpersist()
+    key = lambda r: (r["chunk_uuid"], r["source"], r["relevance"], round(r["score"], 4))
+    assert sorted(map(key, eager)) == sorted(map(key, lazy))
+    assert eager, "context must be non-empty"
+
+
+def test_context_unknown_entity_empty(spark, kg):
+    from vanna_financial_knowledge_graph_spark.operators.context import build_context
+
+    out = build_context(
+        spark, kg["entities"], kg["relationships"], kg["chunks"],
+        kg["vectors"], "No Such Entity Anywhere", "anything",
+    )
+    assert out.count() == 0
+    assert out.columns == ["chunk_uuid", "source", "relevance", "score", "content"]
+
+
 def test_context_lazy_mode_returns_cache_handles(spark, kg):
     """materialize=False with caches=[] hands the internal cached branches
     to the caller so composed usage can release them (ADVICE r3)."""

@@ -7,16 +7,25 @@ are their own category in StructuredContext, not part of the high/low
 split), returned as ONE composed DataFrame — the query a reference user
 actually runs per question.
 
-Plan shape at scale: every driver of the composition (seed entity row,
-neighbor uuid set, topic uuid set, query vector, candidate chunk-id set) is
-dimension-sized and broadcast. The chunk-vector table — the 100TB side — is
-scanned with the cosine evaluated corpus-wide exactly ONCE (the global
-top-k, a TakeOrderedAndProject, never a full sort); every other score is
-computed only for the hit-set∪top-k candidate rows via a broadcast
-semi-style join, so the expensive aggregate-HOF cosine runs over at most a
-few hundred rows outside that single pass. The final capped selection is
-<= high+low+topic rows: materialize=True collects it driver-side (one job,
-no checkpoint write) and releases every internal cache before returning.
+Two execution modes, identical rows (pinned by
+tests/test_embed.py::test_context_modes_agree):
+
+* materialize=True (default, the production read path): STAGED driver-
+  assisted execution. Every intermediate that is dimension-sized by
+  construction — the seed entity uuid, the top-k neighbor uuids, the seed's
+  topic uuids, the global top-k chunk ids, and the final <= high+low+topic
+  capped selection — is collected to the driver and fed back as literal
+  predicates. Consequence at any scale: the edge table is scanned exactly
+  TWICE (seed pass, neighbor+topic pass), both with pushable from/to-uuid
+  IN-filters; the chunk-vector table exactly TWICE (global top-k — a
+  TakeOrderedAndProject with a fully-codegen'd literal-cosine, and hit-set
+  scoring via a broadcast id join); ~5 tiny jobs total, zero lingering
+  caches. This mirrors the reference's own sequential query plan
+  (researcher.py fetches neighbors, then their chunks) — the collected
+  values are a handful of uuids, never corpus-sized data.
+* materialize=False: ONE fully lazy composed plan (for composition or plan
+  inspection); internal cached branches stay alive and the CALLER owns
+  their lifetime — pass caches=[] to receive them for unpersist.
 """
 
 from __future__ import annotations
@@ -25,13 +34,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.embedding import EMBED_DIM, embed_text
-from .dedup import cosine_expr
+from .dedup import cosine_expr, cosine_literal_expr
 from .readpath import context_caps, dedup_max_score, relevance_split
 
 # reference ContextBuilder defaults (context_builder.py:36-41): high/low are
 # RELEVANCE-tier caps applied after the cross-source dedup; topic is its own
 # separately-deduped category; global is the vector-search fetch size.
 DEFAULT_CAPS = {"high": 30, "low": 20, "topic": 15, "global": 10}
+
+_RESULT_SCHEMA = (
+    "chunk_uuid string, source string, relevance string, score double"
+)
 
 
 def build_context(
@@ -54,16 +67,8 @@ def build_context(
     relevance is 'high'/'low' for entity/neighbor/global-sourced chunks
     (tier caps caps['high']/caps['low']) and 'topic' for topic-sourced
     chunks (their own dedup + caps['topic'], matching the reference's
-    separate topic_chunks category).
-
-    materialize=True (default) collects the tiny capped selection to the
-    driver (one job) and RELEASES the internal caches before returning —
-    the right mode for a long-lived session answering many questions.
-    materialize=False returns the fully lazy plan (for composition or plan
-    inspection); the internal cached branches stay alive and the CALLER
-    owns their lifetime — pass `caches=[]` to receive the cached DataFrames
-    and unpersist them when done (without the handle the only release path
-    is spark.catalog.clearCache())."""
+    separate topic_chunks category). See module docstring for the two
+    execution modes."""
     caps = caps or DEFAULT_CAPS
     unknown = set(caps) - set(DEFAULT_CAPS)
     if unknown:
@@ -72,26 +77,312 @@ def build_context(
             f"a subset of {sorted(DEFAULT_CAPS)} (per-source caps were "
             "replaced by reference relevance-TIER caps in round 3)"
         )
+    args = (
+        spark, entities, relationships, chunks, vectors, entity_name,
+        query_text, k_neighbors, caps, relevance_threshold, group_id,
+    )
+    if materialize:
+        # AQE pays off on big shuffles; on this interactive query — a chain
+        # of dimension-sized stages — its per-stage re-planning adds a
+        # scheduling round per mini-stage (measured ~2-3x wall on the
+        # composed selection). Scope it off for the staged call; the
+        # pipeline and every corpus-sized job keep it on.
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            final = _staged_selection(*args)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+    else:
+        final = _lazy_selection(*args, caches)
+    return (
+        final.join(
+            chunks.where(F.col("group_id") == group_id).select(
+                "chunk_uuid", "content"
+            ),
+            "chunk_uuid",
+        )
+        .select(
+            "chunk_uuid",
+            "source",
+            "relevance",
+            F.round("score", 4).alias("score"),
+            "content",
+        )
+        .orderBy(F.desc("score"), "chunk_uuid")
+    )
 
+
+def _cap_tiers(
+    scored: DataFrame,
+    topic_scored: DataFrame,
+    caps: dict[str, int],
+    relevance_threshold: float,
+) -> DataFrame:
+    """Shared tail of both modes: A8 dedup -> W6 split -> W5 tier caps for
+    the non-topic sources; separate dedup+cap for the topic category; a
+    chunk admitted via high/low wins over its topic copy (documented
+    divergence from the reference, which lists topic_chunks separately and
+    CAN repeat a chunk_id across categories — see COVERAGE.md)."""
+    deduped = dedup_max_score(scored, "chunk_uuid", "score")
+    split = relevance_split(deduped, "score", threshold=relevance_threshold)
+    capped = context_caps(
+        split, "relevance", "score",
+        {"high": caps.get("high", 30), "low": caps.get("low", 20)},
+    )
+    topic_capped = (
+        dedup_max_score(topic_scored, "chunk_uuid", "score")
+        .orderBy(F.desc("score"), "chunk_uuid")
+        .limit(caps.get("topic", 15))
+        .withColumn("relevance", F.lit("topic"))
+    )
+    topic_only = topic_capped.join(
+        capped.select("chunk_uuid"), "chunk_uuid", "left_anti"
+    )
+    return capped.unionByName(topic_only)
+
+
+def _staged_selection(
+    spark: SparkSession,
+    entities: DataFrame,
+    relationships: DataFrame,
+    chunks: DataFrame,
+    vectors: DataFrame,
+    entity_name: str,
+    query_text: str,
+    k_neighbors: int,
+    caps: dict[str, int],
+    relevance_threshold: float,
+    group_id: str,
+) -> DataFrame:
+    """materialize=True: staged execution, dimension-sized driver collects,
+    literal-predicate scans, returns the tiny selection as a local frame."""
+    qv = embed_text(query_text, EMBED_DIM)
+    euuids = [
+        r["uuid"]
+        for r in entities.where(
+            (F.lower(F.col("name")) == entity_name.lower())
+            & (F.col("group_id") == group_id)
+        )
+        .select("uuid")
+        .collect()
+    ]
+    if not euuids:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    r = relationships.where(F.col("group_id") == group_id)
+
+    # edge-table scan 1 of 2: every edge touching the seed, from either
+    # endpoint (J2); the isin predicate pushes to the scan. dir/euuid via
+    # explode reproduce the lazy union's row multiplicity exactly (an edge
+    # between two same-name seeds yields one row per matching endpoint).
+    dirs = F.array_compact(
+        F.array(
+            F.when(F.col("from_uuid").isin(euuids), F.lit("from")),
+            F.when(F.col("to_uuid").isin(euuids), F.lit("to")),
+        )
+    )
+    seed_edges = (
+        r.where(F.col("from_uuid").isin(euuids) | F.col("to_uuid").isin(euuids))
+        .withColumn("dir", F.explode(dirs))
+        .withColumn(
+            "euuid",
+            F.when(F.col("dir") == "from", F.col("from_uuid")).otherwise(
+                F.col("to_uuid")
+            ),
+        )
+        .select("from_uuid", "to_uuid", "to_type", "chunk_uuid", "euuid", "dir")
+        .cache()
+    )
+
+    src_entity = (
+        seed_edges.select("chunk_uuid").distinct().withColumn("source", F.lit("entity"))
+    )
+    # top-k neighbors by connection count (A2/W3) and the seed's topic
+    # uuids in ONE tagged driver collect (k + |topics| rows) — this is also
+    # the job that materializes the seed_edges cache
+    neigh_df = (
+        seed_edges.where(
+            (F.col("dir") == "from")
+            & (F.col("to_type") == "entity")
+            & (F.col("to_uuid") != F.col("euuid"))
+        )
+        .select(F.col("to_uuid").alias("v"))
+        .union(
+            seed_edges.where(
+                (F.col("dir") == "to") & (F.col("from_uuid") != F.col("euuid"))
+            ).select(F.col("from_uuid"))
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "v")
+        .limit(k_neighbors)
+        .select(F.lit("n").alias("t"), "v")
+    )
+    topic_df = (
+        seed_edges.where((F.col("dir") == "from") & (F.col("to_type") == "topic"))
+        .select(F.lit("t").alias("t"), F.col("to_uuid").alias("v"))
+        .distinct()
+    )
+    # the neighbor/topic collect and the global top-k are independent:
+    # submit them as CONCURRENT jobs (Spark's scheduler interleaves them;
+    # on a cluster they'd run on disjoint executors) — saves one full
+    # job-latency round on the interactive path
+    chunk_vecs = vectors.where(
+        (F.col("kind") == "chunk") & (F.col("group_id") == group_id)
+    ).select(F.col("uuid").alias("chunk_uuid"), "embedding")
+    global_topk = (
+        chunk_vecs.withColumn("score", cosine_literal_expr("embedding", qv))
+        .orderBy(F.desc("score"), "chunk_uuid")
+        .limit(caps.get("global", 10))
+        .select("chunk_uuid")
+    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        tagged_f = pool.submit(neigh_df.unionByName(topic_df).collect)
+        gids_f = pool.submit(global_topk.collect)
+        tagged = tagged_f.result()
+        gids = [row["chunk_uuid"] for row in gids_f.result()]
+    nuuids = [row["v"] for row in tagged if row["t"] == "n"]
+    tuuids = [row["v"] for row in tagged if row["t"] == "t"]
+
+    # edge-table scan 2 of 2: neighbor chunks (neighbor as EITHER endpoint,
+    # researcher.py:732-769) and topic chunks in ONE tagged pass
+    is_neighbor = F.col("from_uuid").isin(nuuids) | F.col("to_uuid").isin(nuuids)
+    is_topic = (F.col("to_type") == "topic") & F.col("to_uuid").isin(tuuids)
+    tags = F.array_compact(
+        F.array(
+            F.when(is_neighbor, F.lit("neighbor")),
+            F.when(is_topic, F.lit("topic")),
+        )
+    )
+    pass2 = (
+        r.where(is_neighbor | is_topic)
+        .select("chunk_uuid", F.explode(tags).alias("source"))
+        .distinct()
+        .cache()
+    )
+    src_neighbor = pass2.where(F.col("source") == "neighbor")
+    src_topic = pass2.where(F.col("source") == "topic")
+
+    src_global = spark.createDataFrame(
+        [(g, "global") for g in gids], "chunk_uuid string, source string"
+    )
+
+    all_src = src_entity.unionByName(src_neighbor).unionByName(src_global)
+    hit_ids = (
+        all_src.select("chunk_uuid").union(src_topic.select("chunk_uuid")).distinct()
+    )
+    # chunk-vector scan 2 of 2: score ONLY the candidate hit set via a
+    # broadcast id join — the expensive expression never runs corpus-wide
+    scored_hits = (
+        chunk_vecs.join(F.broadcast(hit_ids), "chunk_uuid")
+        .withColumn("score", cosine_literal_expr("embedding", qv))
+        .select("chunk_uuid", "score")
+        .cache()
+    )
+    final = _cap_tiers_takeordered(
+        all_src.join(scored_hits, "chunk_uuid"),
+        src_topic.join(scored_hits, "chunk_uuid"),
+        caps,
+        relevance_threshold,
+    )
+    # the selection is <= high+low+topic rows: land it driver-side (ONE
+    # job), then release every cache — a long-lived session answers many
+    # questions and must not accumulate executor storage
+    rows = final.collect()
+    schema = final.schema
+    for c in (seed_edges, pass2, scored_hits):
+        c.unpersist()
+    return spark.createDataFrame(rows, schema)
+
+
+def _cap_tiers_takeordered(
+    scored: DataFrame,
+    topic_scored: DataFrame,
+    caps: dict[str, int],
+    relevance_threshold: float,
+) -> DataFrame:
+    """Windowless twin of _cap_tiers for the staged path: the A8 dedup is a
+    struct-max groupBy (winner = max score, alphabetically-first source on
+    ties — exactly the window's desc(score) + asc-columns order) and each
+    tier cap is an orderBy().limit(), i.e. a TakeOrderedAndProject, not a
+    row_number window — no per-tier window exchange, same rows
+    (tests/test_embed.py::test_context_modes_agree)."""
+    src_rank = (
+        F.when(F.col("source") == "entity", 3)
+        .when(F.col("source") == "global", 2)
+        .otherwise(1)
+    )
+    dedup = (
+        scored.groupBy("chunk_uuid")
+        .agg(
+            F.max(
+                F.struct(F.col("score"), src_rank.alias("sr"), F.col("source"))
+            ).alias("m")
+        )
+        .select(
+            "chunk_uuid",
+            F.col("m.source").alias("source"),
+            F.col("m.score").alias("score"),
+        )
+    )
+    high = (
+        dedup.where(F.col("score") >= relevance_threshold)
+        .withColumn("relevance", F.lit("high"))
+        .orderBy(F.desc("score"), "chunk_uuid")
+        .limit(caps.get("high", 30))
+    )
+    low = (
+        dedup.where(F.col("score") < relevance_threshold)
+        .withColumn("relevance", F.lit("low"))
+        .orderBy(F.desc("score"), "chunk_uuid")
+        .limit(caps.get("low", 20))
+    )
+    capped = high.unionByName(low)
+    topic_capped = (
+        topic_scored.groupBy("chunk_uuid")
+        .agg(F.max("score").alias("score"))
+        .select("chunk_uuid", F.lit("topic").alias("source"), "score")
+        .orderBy(F.desc("score"), "chunk_uuid")
+        .limit(caps.get("topic", 15))
+        .withColumn("relevance", F.lit("topic"))
+    )
+    topic_only = topic_capped.join(
+        F.broadcast(capped.select("chunk_uuid")), "chunk_uuid", "left_anti"
+    )
+    return capped.unionByName(topic_only)
+
+
+def _lazy_selection(
+    spark: SparkSession,
+    entities: DataFrame,
+    relationships: DataFrame,
+    chunks: DataFrame,
+    vectors: DataFrame,
+    entity_name: str,
+    query_text: str,
+    k_neighbors: int,
+    caps: dict[str, int],
+    relevance_threshold: float,
+    group_id: str,
+    caches: list[DataFrame] | None,
+) -> DataFrame:
+    """materialize=False: one composed lazy plan; cached branches are handed
+    to the caller via `caches` (they own the lifetime)."""
+    qv = embed_text(query_text, EMBED_DIM)
     seed = entities.where(
         (F.lower(F.col("name")) == entity_name.lower())
         & (F.col("group_id") == group_id)
     ).select(F.col("uuid").alias("euuid"))
     r = relationships.where(F.col("group_id") == group_id)
 
-    # J2 union rewrite: edges touching the seed from either endpoint.
-    # seed_edges is SEED-SIZED (one entity's incident edges) but feeds
-    # several consumers below (entity source, neighbor ranking, seed topics)
-    # — cache it once so the edge table is not re-scanned per consumer.
     e_from = r.join(F.broadcast(seed), r["from_uuid"] == F.col("euuid")).withColumn(
         "dir", F.lit("from")
     )
     e_to = r.join(F.broadcast(seed), r["to_uuid"] == F.col("euuid")).withColumn(
         "dir", F.lit("to")
     )
-    # cache, not localCheckpoint: same scan-once property for the plan's
-    # many consumers, but materialization happens inside the main action
-    # instead of as a separate checkpoint job
     seed_edges = (
         e_from.unionByName(e_to)
         .select("from_uuid", "to_uuid", "to_type", "chunk_uuid", "euuid", "dir")
@@ -100,12 +391,8 @@ def build_context(
     internal_caches = [seed_edges]
 
     src_entity = (
-        seed_edges.select("chunk_uuid")
-        .distinct()
-        .withColumn("source", F.lit("entity"))
+        seed_edges.select("chunk_uuid").distinct().withColumn("source", F.lit("entity"))
     )
-
-    # top-k neighbor entities by connection count (A2/W3), then THEIR chunks
     neighbors = (
         seed_edges.where(
             (F.col("dir") == "from")
@@ -124,10 +411,8 @@ def build_context(
         .limit(k_neighbors)
         .select("nuuid")
     )
-    # a neighbor's chunks come from edges where the neighbor is EITHER
-    # endpoint — the reference fetches per-neighbor chunks via the full J2
-    # OR-join (researcher.py:732-769 -> queries.py:460-502); matching only
-    # from_uuid would silently drop chunks where the neighbor is the object
+    # neighbor chunks from edges where the neighbor is EITHER endpoint
+    # (researcher.py:732-769 -> queries.py:460-502)
     src_neighbor = (
         r.join(F.broadcast(neighbors), r["from_uuid"] == F.col("nuuid"))
         .select("chunk_uuid")
@@ -139,8 +424,6 @@ def build_context(
         .distinct()
         .withColumn("source", F.lit("neighbor"))
     )
-
-    # topics the seed entity co-occurs with -> chunks attached to those topics
     seed_topics = (
         seed_edges.where((F.col("dir") == "from") & (F.col("to_type") == "topic"))
         .select(F.col("to_uuid").alias("tuuid"))
@@ -154,17 +437,11 @@ def build_context(
         .withColumn("source", F.lit("topic"))
     )
 
-    # global semantic source: top-k chunks by cosine vs the query vector.
-    # This is the ONE corpus-wide cosine pass — a TakeOrderedAndProject, so
-    # only k rows survive it; the result (k rows) is cached because it feeds
-    # both the source union and the candidate hit set below.
-    q_emb = F.array(*[F.lit(x) for x in embed_text(query_text, EMBED_DIM)])
     chunk_vecs = vectors.where(
         (F.col("kind") == "chunk") & (F.col("group_id") == group_id)
     ).select(F.col("uuid").alias("chunk_uuid"), "embedding")
     src_global = (
-        chunk_vecs.withColumn("emb_q", q_emb)
-        .withColumn("score", cosine_expr("embedding", "emb_q"))
+        chunk_vecs.withColumn("score", cosine_literal_expr("embedding", qv))
         .orderBy(F.desc("score"), "chunk_uuid")
         .limit(caps.get("global", 10))
         .select("chunk_uuid")
@@ -173,82 +450,29 @@ def build_context(
     )
     internal_caches.append(src_global)
 
-    # SET1 union of NON-TOPIC sources (reference: all_chunks = entity +
-    # neighbor + global, context_builder.py:87-89)
     all_src = src_entity.unionByName(src_neighbor).unionByName(src_global)
-
-    # score ONLY the candidate hit set (entity ∪ neighbor ∪ global ∪ topic
-    # chunk ids — a few hundred rows at most): broadcast the id set against
-    # the chunk-vector table and evaluate the cosine post-join, so the
-    # expensive expression never runs corpus-wide here
     hit_ids = (
-        all_src.select("chunk_uuid")
-        .union(src_topic.select("chunk_uuid"))
-        .distinct()
+        all_src.select("chunk_uuid").union(src_topic.select("chunk_uuid")).distinct()
     )
     scored_hits = (
         chunk_vecs.join(F.broadcast(hit_ids), "chunk_uuid")
-        .withColumn("emb_q", q_emb)
-        .withColumn("score", cosine_expr("embedding", "emb_q"))
+        .withColumn("score", cosine_literal_expr("embedding", qv))
         .select("chunk_uuid", "score")
         .cache()
     )
     internal_caches.append(scored_hits)
 
-    scored = all_src.join(scored_hits, "chunk_uuid")
-
-    # A8: one row per chunk, max score (source tie broken deterministically)
-    deduped = dedup_max_score(scored, "chunk_uuid", "score")
-    # W6 relevance split + W5 per-TIER caps (high[:max_high], low[:max_low])
-    split = relevance_split(deduped, "score", threshold=relevance_threshold)
-    capped = context_caps(
-        split, "relevance", "score", {"high": caps.get("high", 30), "low": caps.get("low", 20)}
+    final = _cap_tiers(
+        all_src.join(scored_hits, "chunk_uuid"),
+        src_topic.join(scored_hits, "chunk_uuid"),
+        caps,
+        relevance_threshold,
     )
-
-    # topic chunks: separate dedup + cap (context_builder.py:98-100); tagged
-    # relevance='topic' — their own category, never in the high/low split
-    topic_scored = src_topic.join(scored_hits, "chunk_uuid")
-    topic_capped = (
-        dedup_max_score(topic_scored, "chunk_uuid", "score")
-        .orderBy(F.desc("score"), "chunk_uuid")
-        .limit(caps.get("topic", 15))
-        .withColumn("relevance", F.lit("topic"))
-    )
-
-    # a chunk already admitted via the high/low tiers wins over its topic
-    # copy (global uniqueness of chunk_uuid in the final context; documented
-    # divergence from the reference, which lists topic_chunks separately and
-    # CAN repeat a chunk_id across categories — see COVERAGE.md)
-    topic_only = topic_capped.join(
-        capped.select("chunk_uuid"), "chunk_uuid", "left_anti"
-    )
-    final = capped.unionByName(topic_only)
-    if materialize:
-        # the selection is <= high+low+topic rows: collect it driver-side
-        # (ONE job, no checkpoint write) and release every internal cache —
-        # a long-lived session answers many questions, and each distinct
-        # (entity, query) pair would otherwise pin caches forever
-        rows = final.collect()
-        schema = final.schema
-        for c in internal_caches:
-            c.unpersist()
-        final = spark.createDataFrame(rows, schema)
-    elif caches is not None:
+    if caches is not None:
         caches.extend(internal_caches)
+    return final
 
-    return (
-        final.join(
-            chunks.where(F.col("group_id") == group_id).select(
-                "chunk_uuid", "content"
-            ),
-            "chunk_uuid",
-        )
-        .select(
-            "chunk_uuid",
-            "source",
-            "relevance",
-            F.round("score", 4).alias("score"),
-            "content",
-        )
-        .orderBy(F.desc("score"), "chunk_uuid")
-    )
+
+# cosine_expr stays imported for column-vs-column callers of this module's
+# public surface (two_stage_search composes with it)
+_ = cosine_expr

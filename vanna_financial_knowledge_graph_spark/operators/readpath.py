@@ -289,8 +289,12 @@ def context_caps(
     caps: dict[str, int],
 ) -> DataFrame:
     """Per-category score-sorted caps (W5, context_builder.py:86-112;
-    defaults max_high=30 max_facts=40 max_topic=15 max_low=20)."""
-    w = Window.partitionBy(category_col).orderBy(F.desc(score_col))
+    defaults max_high=30 max_facts=40 max_topic=15 max_low=20). Remaining
+    columns break score ties so the capped set is deterministic."""
+    w = Window.partitionBy(category_col).orderBy(
+        F.desc(score_col),
+        *[F.col(c) for c in df.columns if c not in (category_col, score_col)],
+    )
     cap_expr = F.coalesce(
         *[
             F.when(F.col(category_col) == c, F.lit(n))
