@@ -167,6 +167,26 @@ def test_facts_date_filtered(spark, kg):
     _ = F
 
 
+def test_point_lookups(spark, graph, kg):
+    """get_topics_by_names / get_chunks_by_uuids point lookups
+    (queries.py:594-625 / :290-306): case-insensitive name set, uuid set,
+    tenant-filtered, empty set -> empty result."""
+    _, topics, _, chunks = graph
+    got = {r["name"] for r in R.topics_by_names(topics, ["INFLATION", "nope"]).collect()}
+    assert got == {"Inflation"}
+    assert R.topics_by_names(topics, []).count() == 0
+    ids = [r["chunk_uuid"] for r in chunks.limit(2).collect()]
+    got2 = {r["chunk_uuid"] for r in R.chunks_by_uuids(chunks, ids).collect()}
+    assert got2 == set(ids)
+    assert R.chunks_by_uuids(chunks, ["missing"]).count() == 0
+    # real KG tables: lookup round-trips through the pipeline output
+    t = kg["topics"].limit(1).collect()
+    if t:
+        assert (
+            R.topics_by_names(kg["topics"], [t[0]["name"].upper()]).count() >= 1
+        )
+
+
 def test_kg_stats(spark, graph):
     entities, topics, rels, chunks = graph
     rows = {

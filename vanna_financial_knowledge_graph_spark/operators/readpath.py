@@ -185,11 +185,11 @@ def topic_one_hop_chunks(
     topic_name: str,
     group_id: str = "default",
 ) -> DataFrame:
-    """Chunks attached to a topic (J4)."""
-    t = topics.where(
-        (F.lower(F.col("name")) == topic_name.lower())
-        & (F.col("group_id") == group_id)
-    ).select(F.col("uuid").alias("tuuid"))
+    """Chunks attached to a topic (J4); the topic lookup is the
+    topics_by_names point lookup (queries.py:594-625)."""
+    t = topics_by_names(topics, [topic_name], group_id).select(
+        F.col("uuid").alias("tuuid")
+    )
     r = relationships.where(
         (F.col("group_id") == group_id) & (F.col("to_type") == "topic")
     )
@@ -199,6 +199,33 @@ def topic_one_hop_chunks(
         .join(hit.distinct(), "chunk_uuid")
         .select("chunk_uuid", "content", "header_path", "document_date")
         .dropDuplicates(["chunk_uuid"])
+    )
+
+
+def topics_by_names(
+    topics: DataFrame, names: list[str], group_id: str = "default"
+) -> DataFrame:
+    """Point lookup: topics by case-insensitive name set
+    (queries.py:594-625). A P3 IN-list over the topic dimension — at scale
+    this is a pushable isin filter on a broadcastable table."""
+    lower_names = [n.lower() for n in names]
+    cols = [
+        c for c in ("uuid", "name", "definition", "parent_name")
+        if c in topics.columns
+    ]
+    return topics.where(
+        F.lower(F.col("name")).isin(lower_names) & (F.col("group_id") == group_id)
+    ).select(*cols)
+
+
+def chunks_by_uuids(
+    chunks: DataFrame, uuids: list[str], group_id: str = "default"
+) -> DataFrame:
+    """Point lookup: chunks by uuid set (queries.py:290-306 shape for
+    facts/chunks). The isin predicate pushes to the parquet scan; on a
+    chunk_uuid-bucketed table this prunes to the matching buckets."""
+    return chunks.where(
+        F.col("chunk_uuid").isin(uuids) & (F.col("group_id") == group_id)
     )
 
 
