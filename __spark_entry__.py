@@ -2,8 +2,14 @@
 
 entry(spark)  -> flagship: full KG pipeline at sf0.001, returns the facts
                  (triple) table.
-queries()     -> one callable per implemented operator (SURVEY.md §2 +
-                 training-data ops); each takes (spark, sf_dir).
+queries()     -> EXACTLY 50 callables (the driver verifies a 50-entry
+                 prefix): every oracle query + the flagship KG surface;
+                 each takes (spark, sf_dir).
+extra_queries() -> implemented surface beyond the driver window; pytest
+                 runs these with the same oracle comparison where an
+                 oracle_sql() entry exists (oracle_sql deliberately keeps
+                 entries for trimmed queries: the driver ignores extra
+                 keys, pytest uses them).
 oracle_sql()  -> DuckDB-runnable ANSI SQL equivalents over the pre-registered
                  views (region nation customer supplier part orders lineitem
                  events documents embeddings). KG-pipeline and approximate

@@ -57,7 +57,7 @@ def run_level(cpus: int, sf_dir: str, tag: str) -> dict:
         [sys.executable, "-c", CHILD, str(cpus), sf_dir, work, str(REPLICATE)],
         capture_output=True,
         text=True,
-        timeout=3000,
+        timeout=7200,
         check=False,
     )
     for line in p.stdout.splitlines():
