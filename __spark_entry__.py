@@ -705,9 +705,12 @@ def simhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes), so this is a full value-level oracle, not a rows-only check."""
     from vanna_financial_knowledge_graph_spark.operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(_docs_wide(spark, sf_dir), max_hamming=3).orderBy(
-        "doc_a", "doc_b"
-    )
+    # max_bucket disabled: the boilerplate guard drops pairs in oversized
+    # band buckets, which the oracle (no guard) would keep — the entry must
+    # BE the exact pair set at any scale factor
+    return simhash_near_dups(
+        _docs_wide(spark, sf_dir), max_hamming=3, max_bucket=10**9
+    ).orderBy("doc_a", "doc_b")
 
 
 def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,6 +1043,14 @@ def kg_stream_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # just read the terminal output — deterministic, so identical rows.
     base = _stream_dir(sf_dir)
     if not os.path.exists(f"{base}/_done"):
+        # no _done marker = first run OR a mid-stream failure left partial
+        # sink output; wipe before re-running — rewriting the input gives
+        # fresh part filenames the file source would reprocess in full,
+        # APPENDING on top of any partially-committed microbatches
+        import shutil
+
+        for sub in ("chunks", "vecs", "ckpt"):
+            shutil.rmtree(f"{base}/{sub}", ignore_errors=True)
         kg["chunks"].write.mode("overwrite").parquet(f"{base}/chunks")
         incremental_vectors(
             spark, f"{base}/chunks", f"{base}/vecs", f"{base}/ckpt"
@@ -1077,12 +1088,30 @@ def kg_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks_tbl, "chunk_uuid", buckets=8,
     )
     j = colocated_join(spark, facts_tbl, chunks_tbl, "chunk_uuid")
-    return (
+    agg = (
         j.groupBy("subject_name")
         .agg(F.count(F.lit(1)).alias("n_chunk_hits"))
         .orderBy(F.desc("n_chunk_hits"), "subject_name")
         .limit(20)
     )
+    # land the 20-row result, then DROP + wipe the per-PID tables: unique
+    # names mean write_bucketed's stale-location cleanup can never reclaim
+    # them, so without this every process run leaks two corpus-sized
+    # parquet copies into the warehouse dir (the zero-Exchange plan shape
+    # is separately pinned by tests/test_plans.py::test_bucketed_join_no_exchange)
+    rows = agg.collect()
+    schema = agg.schema
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    for tbl in (facts_tbl, chunks_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if wh and "://" not in wh.removeprefix("file://"):
+            loc = os.path.join(
+                wh.removeprefix("file://").removeprefix("file:"), tbl.lower()
+            )
+            shutil.rmtree(loc, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def kg_upsert_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:

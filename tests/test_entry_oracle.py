@@ -34,6 +34,11 @@ _QUERIES = {**entry.queries(), **entry.extra_queries()}
 # cheap, no-pipeline queries get the full oracle comparison in pytest
 _ORACLE_CHECKED = sorted(set(_ORACLES) & set(_QUERIES))
 _ROWS_ONLY = sorted(k for k in _QUERIES if k not in _ORACLES and not k.startswith("kg_"))
+# kg_ extras trimmed from the driver window would otherwise have ZERO
+# execution coverage (the driver no longer runs them); rows-run each over
+# the shared pipeline output (entry._kg caches per sf_dir, so this is one
+# pipeline build for the lot)
+_KG_EXTRAS = sorted(k for k in entry.extra_queries() if k.startswith("kg_"))
 
 
 def test_driver_window_is_exactly_50():
@@ -62,6 +67,12 @@ def test_query_matches_oracle(spark, duck, name):
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
+    df = _QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0 and df.columns
+
+
+@pytest.mark.parametrize("name", _KG_EXTRAS)
+def test_kg_extra_queries_run(spark, name):
     df = _QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0 and df.columns
 

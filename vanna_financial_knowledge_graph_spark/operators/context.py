@@ -33,9 +33,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import threading
+
 from ..functions.embedding import EMBED_DIM, embed_text
-from .dedup import cosine_expr, cosine_literal_expr
+from .dedup import cosine_literal_expr
 from .readpath import context_caps, dedup_max_score, relevance_split
+
+_AQE_LOCK = threading.Lock()
 
 # reference ContextBuilder defaults (context_builder.py:36-41): high/low are
 # RELEVANCE-tier caps applied after the cross-source dedup; topic is its own
@@ -86,13 +90,17 @@ def build_context(
         # of dimension-sized stages — its per-stage re-planning adds a
         # scheduling round per mini-stage (measured ~2-3x wall on the
         # composed selection). Scope it off for the staged call; the
-        # pipeline and every corpus-sized job keep it on.
-        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            final = _staged_selection(*args)
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", prev)
+        # pipeline and every corpus-sized job keep it on. The set/restore
+        # is session-global, so a lock serializes concurrent build_context
+        # calls — without it two interleaved calls can restore the wrong
+        # previous value and leave AQE off for every later query.
+        with _AQE_LOCK:
+            prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                final = _staged_selection(*args)
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", prev)
     else:
         final = _lazy_selection(*args, caches)
     return (
@@ -472,7 +480,3 @@ def _lazy_selection(
         caches.extend(internal_caches)
     return final
 
-
-# cosine_expr stays imported for column-vs-column callers of this module's
-# public surface (two_stage_search composes with it)
-_ = cosine_expr

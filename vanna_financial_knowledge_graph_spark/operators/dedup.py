@@ -418,7 +418,13 @@ def cosine_literal_expr(col: str, query_vec) -> "F.Column":
         dot = v * float(x) if dot is None else dot + v * float(x)
         nrm = v * v if nrm is None else nrm + v * v
     qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-    return dot / (F.sqrt(nrm) * qn)
+    if qn == 0.0:
+        # zero query vector (empty/whitespace text): null score, not a
+        # DIVIDE_BY_ZERO crash (ANSI mode is on in this engine's sessions)
+        return F.lit(None).cast("double")
+    return F.when(F.sqrt(nrm) > 0.0, dot / (F.sqrt(nrm) * qn)).otherwise(
+        F.lit(None)
+    )
 
 
 def cosine_expr(a: str, b: str):
@@ -441,7 +447,9 @@ def cosine_expr(a: str, b: str):
             lambda acc, x: acc + x,
         )
     )
-    return dot / (na * nb)
+    # zero-norm vectors score null instead of raising DIVIDE_BY_ZERO
+    # under the engine's ANSI-mode sessions
+    return F.when(na * nb > 0.0, dot / (na * nb)).otherwise(F.lit(None))
 
 
 def embedding_near_dups_fast(
