@@ -287,6 +287,25 @@ def test_context_unknown_entity_empty(spark, kg):
     assert out.columns == ["chunk_uuid", "source", "relevance", "score", "content"]
 
 
+def test_context_materialized_releases_all_caches(spark, kg):
+    """materialize=True must leave ZERO lingering cached RDDs: a long-lived
+    session answering many questions must not grow executor storage
+    (round-3 regression guard, kept across the round-4 restage)."""
+    from vanna_financial_knowledge_graph_spark.operators.context import build_context
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    for q in ("earnings", "acquisitions", "regulation"):
+        assert (
+            build_context(
+                spark, kg["entities"], kg["relationships"], kg["chunks"],
+                kg["vectors"], "Apple Inc.", q,
+            ).count()
+            >= 0
+        )
+    assert jsc.getPersistentRDDs().size() == before
+
+
 def test_context_lazy_mode_returns_cache_handles(spark, kg):
     """materialize=False with caches=[] hands the internal cached branches
     to the caller so composed usage can release them (ADVICE r3)."""
