@@ -65,6 +65,10 @@ def main() -> int:
     import duckdb
 
     sys.path.insert(0, "/root/repo")
+    import os
+
+    # kg_* oracles read the materialized pipeline parquet for this sf dir
+    os.environ["VKG_ORACLE_SF_DIR"] = sf_dir
     import __spark_entry__ as entrymod
     from vanna_financial_knowledge_graph_spark.session import get_spark
 

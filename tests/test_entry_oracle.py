@@ -2,6 +2,8 @@
 entry matches DuckDB exactly (the same comparison the grading driver does),
 at sf0.001 for speed. scripts/check_oracle.py runs the same check at sf0.01."""
 
+import os
+
 import duckdb
 import pytest
 
@@ -9,6 +11,10 @@ import __spark_entry__ as entry
 from scripts.check_oracle import compare
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# the kg_* oracles read the pipeline's materialized stage parquet for the
+# sf dir under test (the driver runs them at sf0.01; pytest runs sf0.001)
+os.environ["VKG_ORACLE_SF_DIR"] = SF_DIR
 
 _TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",

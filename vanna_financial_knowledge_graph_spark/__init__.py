@@ -17,4 +17,4 @@ Layout:
 
 __version__ = "0.1.0"
 
-CODE_VERSION = 9  # bump to invalidate stage checkpoints when semantics change
+CODE_VERSION = 10  # bump to invalidate stage checkpoints when semantics change

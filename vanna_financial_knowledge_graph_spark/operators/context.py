@@ -41,6 +41,44 @@ from .readpath import context_caps, dedup_max_score, relevance_split
 
 _AQE_LOCK = threading.Lock()
 
+# one AQE-off child session per primary session (keyed weakly so a torn-down
+# session doesn't pin its child); newSession shares SparkContext + cached
+# blocks but owns its SQLConf, so setting adaptive=false here is invisible
+# to every other query
+_CHILD_SESSIONS: "weakref.WeakKeyDictionary" = None  # initialized below
+import weakref
+
+_CHILD_SESSIONS = weakref.WeakKeyDictionary()
+_CHILD_LOCK = threading.Lock()
+
+
+def _aqe_off_child_session(spark: SparkSession) -> SparkSession | None:
+    """The cached AQE-off child of `spark`, or None when plan rebinding
+    isn't available in this Spark build (then callers fall back to a locked
+    conf toggle on the primary session)."""
+    try:  # probe the rebind surface once per session
+        with _CHILD_LOCK:
+            child = _CHILD_SESSIONS.get(spark)
+            if child is None:
+                child = spark.newSession()
+                child.conf.set("spark.sql.adaptive.enabled", "false")
+                # probe: Dataset.ofRows must exist for _rebind to work
+                _rebind(spark.range(1), child)
+                _CHILD_SESSIONS[spark] = child
+        return child
+    except Exception:  # noqa: BLE001 — conservative fallback, never fail
+        return None
+
+
+def _rebind(df: DataFrame, session: SparkSession) -> DataFrame:
+    """Re-wrap a DataFrame's logical plan under another session of the same
+    SparkContext (classic-mode Dataset.ofRows), so it plans/executes with
+    that session's SQLConf."""
+    jdf = session._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        session._jsparkSession, df._jdf.logicalPlan()
+    )
+    return DataFrame(jdf, session)
+
 # reference ContextBuilder defaults (context_builder.py:36-41): high/low are
 # RELEVANCE-tier caps applied after the cross-source dedup; topic is its own
 # separately-deduped category; global is the vector-search fetch size.
@@ -89,18 +127,30 @@ def build_context(
         # AQE pays off on big shuffles; on this interactive query — a chain
         # of dimension-sized stages — its per-stage re-planning adds a
         # scheduling round per mini-stage (measured ~2-3x wall on the
-        # composed selection). Scope it off for the staged call; the
-        # pipeline and every corpus-sized job keep it on. The set/restore
-        # is session-global, so a lock serializes concurrent build_context
-        # calls — without it two interleaved calls can restore the wrong
-        # previous value and leave AQE off for every later query.
-        with _AQE_LOCK:
-            prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-            try:
-                final = _staged_selection(*args)
-            finally:
-                spark.conf.set("spark.sql.adaptive.enabled", prev)
+        # composed selection). Run the staged selection on a CHILD session
+        # (spark.newSession(): own SQLConf, shared SparkContext/cache) with
+        # AQE off, so the toggle can never bleed into queries running
+        # concurrently on the primary session (ADVICE r4). The staged path
+        # lands its result as collected rows, so nothing cross-session
+        # escapes. Falls back to a locked set/restore on the primary
+        # session if plan rebinding is unavailable.
+        child = _aqe_off_child_session(spark)
+        if child is not None:
+            final = _staged_selection(
+                child,
+                *(_rebind(df, child) for df in (entities, relationships, chunks, vectors)),
+                entity_name, query_text, k_neighbors, caps,
+                relevance_threshold, group_id,
+            )
+            final = _rebind(final, spark)
+        else:
+            with _AQE_LOCK:
+                prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+                try:
+                    final = _staged_selection(*args)
+                finally:
+                    spark.conf.set("spark.sql.adaptive.enabled", prev)
     else:
         final = _lazy_selection(*args, caches)
     return (
@@ -342,7 +392,14 @@ def _cap_tiers_takeordered(
         .limit(caps.get("high", 30))
     )
     low = (
-        dedup.where(F.col("score") < relevance_threshold)
+        # NULL scores (zero-norm chunk embedding or zero query vector —
+        # cosine returns null, never DIVIDE_BY_ZERO) land in the LOW tier,
+        # exactly like relevance_split's `otherwise` branch in the lazy
+        # path (ADVICE r4: the two modes must not diverge on nulls); desc
+        # ordering puts them last within the tier on both engines
+        dedup.where(
+            (F.col("score") < relevance_threshold) | F.col("score").isNull()
+        )
         .withColumn("relevance", F.lit("low"))
         .orderBy(F.desc("score"), "chunk_uuid")
         .limit(caps.get("low", 20))

@@ -161,8 +161,15 @@ def search_topics(
 ) -> DataFrame:
     """Top-k topics by embedding similarity over the topic vector index
     (reference topic_resolver.py:357-369 semantic fallback + MCP find
-    mcp/server.py:259-331), enriched with the topic vertex fields."""
+    mcp/server.py:259-331), enriched with the topic vertex fields.
+
+    The topics table stores corpus topics AND the ontology under the same
+    uuid (namespaced by group_id, like the reference), so the enrichment
+    side is filtered to the searched namespace — otherwise a uuid present
+    in both would duplicate each hit."""
     hits = search_kind(spark, vectors, "topic", query_text, k, group_id)
+    if "group_id" in topics.columns:
+        topics = topics.where(F.col("group_id") == group_id)
     return (
         hits.join(
             topics.select(

@@ -44,13 +44,29 @@ def extract_pages_text(pages: DataFrame) -> DataFrame:
 
 
 def build_docs(extracted: DataFrame, group_id: str = GROUP_ID) -> DataFrame:
-    """Documents table with deterministic ids (sha256 over 'doc\\x1furl')."""
+    """Documents table with deterministic ids (sha256 over 'doc\\x1furl').
+
+    `metadata` is the typed map column the reference keeps as a JSON dict
+    per document (backend.py:191 stores it, queries.py:720-722 decodes it;
+    SURVEY.md §1.2 maps it to MapType(String,String)). Populated from page
+    headers — language, crawl host, crawl-day bucket — all as narrow
+    codegen expressions, no UDF."""
     return extracted.select(
         F.sha2(F.concat_ws("\x1f", F.lit("doc"), F.col("url")), 256).alias("doc_uuid"),
         F.col("url"),
         F.element_at(F.split(F.col("url"), "/"), -1).alias("doc_name"),
         F.date_format(F.col("warc_ts"), "yyyy-MM-dd").alias("doc_date"),
         F.col("lang"),
+        F.map_from_arrays(
+            F.array(F.lit("lang"), F.lit("host"), F.lit("crawl_day")),
+            F.array(
+                F.coalesce(F.col("lang"), F.lit("")),
+                F.coalesce(F.parse_url(F.col("url"), F.lit("HOST")), F.lit("")),
+                F.coalesce(
+                    F.date_format(F.col("warc_ts"), "yyyy-MM-dd"), F.lit("")
+                ),
+            ),
+        ).alias("metadata"),
         F.lit(group_id).alias("group_id"),
     )
 

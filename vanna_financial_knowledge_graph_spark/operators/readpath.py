@@ -218,6 +218,31 @@ def topics_by_names(
     ).select(*cols)
 
 
+def entities_by_uuids(
+    entities: DataFrame, uuids: list[str], group_id: str = "default"
+) -> DataFrame:
+    """Point lookup: entity rows by uuid set — the reference's most-called
+    enrichment shape, get_entities(uuids) (queries.py:140-160): search
+    returns uuids, this hydrates them (J7). The isin predicate pushes to
+    the parquet scan; on a uuid-bucketed table it prunes to the matching
+    buckets, and at 100 TB it is a broadcast-hash semi-join against a
+    literal set, never a shuffle."""
+    return entities.where(
+        F.col("uuid").isin(uuids) & (F.col("group_id") == group_id)
+    )
+
+
+def facts_by_uuids(
+    facts: DataFrame, uuids: list[str], group_id: str = "default"
+) -> DataFrame:
+    """Point lookup: fact rows by uuid set (get_facts_by_uuids,
+    queries.py:287-306) — hydrates fact-search hits into full rows. Same
+    pushdown/bucket-pruning shape as entities_by_uuids."""
+    return facts.where(
+        F.col("uuid").isin(uuids) & (F.col("group_id") == group_id)
+    )
+
+
 def chunks_by_uuids(
     chunks: DataFrame, uuids: list[str], group_id: str = "default"
 ) -> DataFrame:

@@ -31,6 +31,7 @@ from ..operators.assemble import (
     build_relationships,
     build_topics,
     link_facts,
+    ontology_topics,
 )
 from ..operators.canonicalize import build_canonical_map, build_entities
 from ..operators.embed import build_vectors
@@ -275,10 +276,18 @@ class PipelineRun:
                     ["mentions"],
                     lambda: build_canonical_map(spark, mentions, gid).coalesce(8),
                 ),
+                # corpus topics UNION the full ontology under the reserved
+                # group_id='ontology' namespace — the reference keeps the
+                # ontology in the same topics table/vector space behind that
+                # tenant filter (topic_resolver.py:357-369), so the vectors
+                # stage below embeds both and search_topics(group_id=
+                # 'ontology') resolves against the ontology space
                 "topics": lambda: self._run_stage(
                     "topics",
                     ["mentions"],
-                    lambda: build_topics(spark, mentions, gid).coalesce(1),
+                    lambda: build_topics(spark, mentions, gid)
+                    .unionByName(ontology_topics(spark))
+                    .coalesce(1),
                 ),
             }
         )

@@ -27,6 +27,12 @@ DOCS = T.StructType(
         T.StructField("doc_name", T.StringType(), True),
         T.StructField("doc_date", T.StringType(), True),  # ISO, lexicographic compare
         T.StructField("lang", T.StringType(), True),
+        # per-document metadata dict, decoded to a typed map (reference
+        # stores/loads a JSON metadata dict per document, backend.py:191,
+        # queries.py:720-722; SURVEY.md §1.2 metadata -> MapType)
+        T.StructField(
+            "metadata", T.MapType(T.StringType(), T.StringType()), True
+        ),
         T.StructField("group_id", T.StringType(), False),
     ]
 )
