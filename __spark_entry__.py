@@ -783,6 +783,21 @@ def lsh_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=10, n_planes=4)
 
 
+def ivf_pq_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the reference's configured index type, settings.py:179-180):
+    nprobe coarse cells -> ADC over 8-byte PQ codes -> exact re-rank of the
+    shortlist. Recall-bound pytest in tests/test_similarity.py."""
+    from vanna_financial_knowledge_graph_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_pq_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+
+
 def media_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload -> feature rows (decode stubbed)."""
     from vanna_financial_knowledge_graph_spark.operators.multimodal import (
@@ -1418,6 +1433,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5 to make room for oracle-able point lookups
         "lsh_topk_approx": lsh_topk_approx,
         "ivf_topk_approx": ivf_topk_approx,
+        "ivf_pq_topk_approx": ivf_pq_topk_approx,
         "kg_relationships": kg_relationships,
         "kg_mentions": kg_mentions,
         "kg_documents": kg_documents,

@@ -478,3 +478,60 @@ def test_embedding_near_dup_paths_agree(spark, tmp_path):
     assert set(exact) == set(fast)
     for k in exact:
         assert fast[k] == pytest.approx(exact[k], abs=1e-6)
+
+
+def test_ontology_topic_search(spark, kg):
+    """search_topics against the group_id='ontology' vector space (the
+    reference researcher resolves topics there, topic_resolver.py:357-369):
+    hits come only from the ontology namespace and carry its vertex fields."""
+    from vanna_financial_knowledge_graph_spark.operators.embed import search_topics
+    import pyspark.sql.functions as F
+
+    onto = kg["topics"].where(F.col("group_id") == "ontology")
+    got = search_topics(
+        spark, kg["vectors"], onto,
+        "general increase in prices and fall in purchasing power",
+        k=5, group_id="ontology",
+    ).collect()
+    assert len(got) == 5
+    onto_ids = {r["uuid"] for r in onto.select("uuid").collect()}
+    assert all(r["uuid"] in onto_ids for r in got)
+    assert all(r["name"] and r["definition"] is not None for r in got)
+    # the duplicated-uuid trap: corpus topics share uuids with ontology
+    # rows, so hits must NOT fan out through the two-namespace topics table
+    assert len({r["uuid"] for r in got}) == 5
+
+
+def test_cap_tiers_null_scores_agree(spark):
+    """NULL relevance scores (zero-norm embedding / zero query vector) must
+    land in the LOW tier in BOTH context modes (ADVICE r4: the staged
+    path's score<t filter silently dropped them while the lazy path kept
+    them as 'low')."""
+    from vanna_financial_knowledge_graph_spark.operators.context import (
+        _cap_tiers,
+        _cap_tiers_takeordered,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            ("c1", "entity", 0.9),
+            ("c2", "global", 0.05),
+            ("c3", "entity", None),
+            ("c3", "neighbor", None),
+            ("c4", "neighbor", 0.4),
+        ],
+        "chunk_uuid string, source string, score double",
+    )
+    topic_scored = spark.createDataFrame(
+        [("c5", "topic", None), ("c6", "topic", 0.3)],
+        "chunk_uuid string, source string, score double",
+    )
+    caps = {"high": 30, "low": 20, "topic": 15}
+    lazy = _cap_tiers(scored, topic_scored, caps, 0.2)
+    staged = _cap_tiers_takeordered(scored, topic_scored, caps, 0.2)
+    key = lambda rows: sorted(
+        (r["chunk_uuid"], r["source"], r["relevance"], r["score"]) for r in rows
+    )
+    assert key(lazy.collect()) == key(staged.collect())
+    rel = {r["chunk_uuid"]: r["relevance"] for r in staged.collect()}
+    assert rel["c3"] == "low" and rel["c5"] == "topic"

@@ -165,3 +165,40 @@ def test_dedupe_pages_latest_wins(spark):
     assert got == {"u1": "new", "u2": "only"}
     got_e = {r["url"]: r["text"] for r in dedupe_pages(pages, "earliest").collect()}
     assert got_e["u1"] == "old"
+
+
+def test_docs_metadata_map(kg):
+    """documents.metadata is a typed MapType(String,String) populated from
+    page headers (reference JSON metadata dict, backend.py:191,
+    queries.py:720-722; SURVEY §1.2)."""
+    import pyspark.sql.functions as F
+
+    rows = kg["docs"].select("url", "lang", "doc_date", "metadata").collect()
+    assert rows
+    for r in rows:
+        md = r["metadata"]
+        assert set(md) == {"lang", "host", "crawl_day"}
+        assert md["lang"] == (r["lang"] or "")
+        assert md["crawl_day"] == (r["doc_date"] or "")
+        assert md["host"] and md["host"] in r["url"]
+
+
+def test_topics_table_carries_ontology_namespace(kg):
+    """The topics stage stores corpus topics AND the full ontology behind
+    group_id='ontology' (reference keeps the ontology in the same table
+    behind that tenant filter, topic_resolver.py:357-369); the vectors
+    stage embeds both namespaces."""
+    import pyspark.sql.functions as F
+    from vanna_financial_knowledge_graph_spark.gazetteer import ontology_rows
+
+    by_gid = {
+        r["group_id"]: r["n"]
+        for r in kg["topics"].groupBy("group_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_gid.get("ontology") == len(ontology_rows())
+    assert by_gid.get("default", 0) > 0
+    vec_gids = {
+        (r["kind"], r["group_id"])
+        for r in kg["vectors"].select("kind", "group_id").distinct().collect()
+    }
+    assert ("topic", "ontology") in vec_gids and ("topic", "default") in vec_gids

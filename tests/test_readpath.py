@@ -308,3 +308,20 @@ def test_topic_parent_rollup(spark):
         for r in R.topic_parent_rollup(topics, rels).collect()
     }
     assert got == {"Macroeconomics": (3, 3), "Corporate Finance": (1, 1)}
+
+
+def test_by_uuid_point_lookups(spark, kg):
+    """get_entities(uuids) / get_facts_by_uuids (queries.py:140-160 /
+    :287-306): the reference's hydration calls — uuid set, tenant-filtered,
+    empty set -> empty result, foreign tenant -> empty."""
+    ents = kg["entities"]
+    ids = [r["uuid"] for r in ents.orderBy("uuid").limit(3).collect()]
+    got = {r["uuid"] for r in R.entities_by_uuids(ents, ids).collect()}
+    assert got == set(ids)
+    assert R.entities_by_uuids(ents, []).count() == 0
+    assert R.entities_by_uuids(ents, ids, group_id="other").count() == 0
+    facts = kg["facts"]
+    fids = [r["uuid"] for r in facts.orderBy("uuid").limit(5).collect()]
+    got2 = {r["uuid"] for r in R.facts_by_uuids(facts, fids).collect()}
+    assert got2 == set(fids)
+    assert R.facts_by_uuids(facts, ["missing"]).count() == 0

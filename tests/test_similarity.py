@@ -225,3 +225,70 @@ def test_ivf_scores_exact_within_probe(emb):
         assert r["cosine"] == pytest.approx(
             round(float(sims[r["query_id"]][r["vec_id"]]), 4), abs=2e-4
         )
+
+
+def _planted(spark, seed=5, dim=64, n_clusters=6, per=8):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows, truth, vid = [], {}, 0
+    for _ in range(n_clusters):
+        center = rng.randn(dim)
+        center /= np.linalg.norm(center)
+        ids = list(range(vid, vid + per))
+        for i in ids:
+            v = center + 0.02 * rng.randn(dim)
+            rows.append((i, [float(x) for x in v]))
+        truth[ids[0]] = set(ids[1:])
+        vid += per
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id").isin(list(truth))).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return df, queries, truth, per
+
+
+def test_ivf_pq_recall_planted_clusters(spark):
+    """IVF-PQ (the reference's configured index type, settings.py:179-180):
+    ADC over m-byte codes inside nprobe cells + exact re-rank must reach
+    >=0.9 recall at nprobe=4 on planted clusters (VERDICT r4 item 6)."""
+    df, queries, truth, per = _planted(spark)
+    got = S.ivf_pq_topk(
+        df, queries, k=per - 1, dim=64, n_centroids=8, nprobe=4, m=8, ksub=16
+    )
+    hits: dict[int, set] = {}
+    for r in got.collect():
+        hits.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(hits.get(q, set()) & m) / len(m) for q, m in truth.items()]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_pq_deterministic_and_exact_scores(spark):
+    """Re-ranked scores are EXACT cosines (PQ only shapes the shortlist),
+    and the whole path is deterministic across runs."""
+    import numpy as np
+
+    df, queries, truth, per = _planted(spark, seed=9)
+    a = S.ivf_pq_topk(df, queries, k=5, n_centroids=8, nprobe=4)
+    b = S.ivf_pq_topk(df, queries, k=5, n_centroids=8, nprobe=4)
+    ra, rb = sorted(map(str, a.collect())), sorted(map(str, b.collect()))
+    assert ra == rb
+    vecs = np.array(
+        [r["embedding"] for r in df.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for r in a.collect():
+        assert r["cosine"] == pytest.approx(
+            round(float(sims[r["query_id"]][r["vec_id"]]), 4), abs=2e-4
+        )
+
+
+def test_pq_train_shape_and_determinism(emb):
+    df, _ = emb
+    b1 = S.pq_train(df, dim=16, m=4, ksub=4)
+    b2 = S.pq_train(df, dim=16, m=4, ksub=4)
+    import numpy as np
+
+    assert np.array_equal(b1, b2)
+    assert b1.shape == (4, 4, 4)

@@ -48,3 +48,30 @@ def test_fingerprints_ws_invariant(spark):
     )
     got = {r["doc_id"]: r["fingerprint"] for r in X.doc_fingerprints(docs).collect()}
     assert got[1] == got[2] != got[3]
+
+
+def test_documents_text_is_ascii():
+    """The simhash_verified oracle reproduces FNV-1a64 in SQL by hashing
+    ord(c) per character while the Spark operator hashes UTF-8 bytes, and
+    DuckDB '\\s+' tokenization differs from str.split() on exotic Unicode
+    whitespace — parity therefore NEEDS a pure-ASCII corpus (ADVICE r4).
+    Pin that generator property at every shipped scale factor so a future
+    non-ASCII document fails HERE with a clear message, not as a confusing
+    oracle value mismatch."""
+    import os
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        (n_bad,) = duckdb.sql(
+            "SELECT count(*) FROM read_parquet(?) "
+            "WHERE regexp_matches(text, '[^\\x00-\\x7F]')",
+            params=[path],
+        ).fetchone()
+        assert n_bad == 0, (
+            f"{sf}: {n_bad} non-ASCII documents — simhash_verified oracle "
+            "parity no longer holds; hash encode(tok) bytes in the SQL"
+        )

@@ -17,6 +17,7 @@ list_cosine_similarity agrees bit-for-bit after rounding.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -227,6 +228,190 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
+def pq_train(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    seed: int = 7,
+    max_train: int = 20_000,
+    sample_fraction: float | None = None,
+):
+    """Product-quantization codebooks (Jégou et al., TPAMI'11): the vector
+    splits into m subvectors of dim/m; each subspace gets its own seeded
+    k-means codebook with ksub entries. Returns (m, ksub, dim/m) float64.
+
+    Training is driver-side NumPy over a BOUNDED, order-stable sample
+    (TakeOrdered by vec_id, optionally over a seeded Bernoulli sample —
+    the same 10^-5-of-corpus training regime as ivf_train: codebook
+    quality depends on density coverage, not N). The reference configures
+    IVF_PQ as its vector-index type (config/settings.py:179-180)."""
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if sample_fraction and sample_fraction < 1.0:
+        embeddings = embeddings.sample(
+            withReplacement=False, fraction=sample_fraction, seed=seed
+        )
+    rows = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(max_train)
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n, dsub = len(x), dim // m
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        k_eff = min(ksub, n)
+        cents = sub[rng.choice(n, k_eff, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_eff):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books[j, :k_eff] = cents
+        if k_eff < ksub:  # degenerate tiny corpus: repeat last centroid
+            books[j, k_eff:] = cents[-1]
+    return books
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+    iters: int = 2,
+    seed: int = 7,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (the reference's configured index type,
+    config/settings.py:179-180): coarse IVF cells bound the scan to
+    nprobe/n_centroids of the corpus; within probed cells, vectors are
+    scored by ASYMMETRIC DISTANCE (ADC) against their m-byte PQ codes —
+    a per-query (m x ksub) dot-product lookup table replaces the full
+    d-dim arithmetic — and the top refine*k ADC candidates get an exact
+    cosine re-rank. At 10^12 rows this is what makes the cell scan
+    affordable: the scan reads m bytes + one table lookup per subvector
+    instead of dim floats (here 8 lookups vs 64 multiplies).
+
+    Corpus-side work is two narrow maps (cell assign, PQ encode — both
+    batched, no shuffle); only refine*k rows per query are ever re-read
+    at full precision. Deterministic: seeded training, no executor RNG."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    dsub = dim // m
+    centroids = ivf_train(embeddings, dim, n_centroids, iters, seed, sample_fraction)
+    books = pq_train(
+        embeddings, dim, m, ksub, seed=seed, sample_fraction=sample_fraction
+    )
+
+    books_list = books.tolist()  # serialized into the UDF closure
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _pq_codes(embs: pd.Series) -> pd.Series:
+        b = np.asarray(books_list)  # (m, ksub, dsub)
+        x = np.array(embs.tolist(), dtype=np.float64)  # (B, dim)
+        codes = np.empty((len(x), b.shape[0]), dtype=np.int64)
+        for j in range(b.shape[0]):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - b[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series([list(map(int, row)) for row in codes])
+
+    corpus = embeddings.select(
+        "vec_id",
+        _argmax_expr(_centroid_scores("embedding", centroids)).alias("cell"),
+        _pq_codes(F.col("embedding")).alias("codes"),
+    )
+
+    # queries are dimension-sized by contract: collect once, build the
+    # per-query ADC tables (dot products of each query subvector with each
+    # codebook entry) and the nprobe cell list driver-side
+    qrows = queries.select("query_id", "q_emb").collect()
+    cents = np.asarray(centroids)
+    tables: dict = {}
+    probe_rows = []
+    for r in qrows:
+        qid = r["query_id"]
+        qv = np.asarray(r["q_emb"], dtype=np.float64)
+        scores = cents @ qv
+        order = np.lexsort((np.arange(len(scores)), -scores))[:nprobe]
+        for cell in order:
+            probe_rows.append((qid, int(cell)))
+        tables[qid] = np.stack(
+            [books[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(m)]
+        )  # (m, ksub)
+
+    spark = embeddings.sparkSession
+    qid_type = queries.schema["query_id"].dataType.simpleString()
+    vid_type = embeddings.schema["vec_id"].dataType.simpleString()
+    probes = spark.createDataFrame(probe_rows, f"query_id {qid_type}, cell int")
+
+    def _adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.reset_index(drop=True)
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
+            out_scores = np.empty(len(pdf))
+            for qid, pos in pdf.groupby("query_id").indices.items():
+                t = tables[qid]  # (m, ksub)
+                out_scores[pos] = t[np.arange(m)[None, :], codes[pos]].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "vec_id": pdf["vec_id"],
+                    "adc": out_scores,
+                }
+            )
+
+    cand = (
+        corpus.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "codes")
+        .mapInPandas(
+            _adc, schema=f"query_id {qid_type}, vec_id {vid_type}, adc double"
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("vec_id"))
+    shortlist = (
+        cand.withColumn("_r", F.row_number().over(w_adc))
+        .where(F.col("_r") <= refine * k)
+        .select("query_id", "vec_id")
+    )
+    # exact re-rank of the tiny shortlist: fetch full-precision vectors via
+    # a broadcast id join (the corpus never shuffles), score vs the query
+    exact = (
+        embeddings.select("vec_id", F.col("embedding").alias("emb_c"))
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(
+            F.broadcast(queries.select("query_id", F.col("q_emb").alias("emb_q"))),
+            "query_id",
+        )
+        .withColumn("cosine", cosine_expr("emb_c", "emb_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
     )
