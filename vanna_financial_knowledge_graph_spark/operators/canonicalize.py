@@ -143,6 +143,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     small_threshold: int = 200_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components -> (node, component), component = min member.
 
@@ -171,6 +172,8 @@ def connected_components(
             [(n, comp[n]) for n in node_list], "node string, component string"
         )
 
+    import time as _time
+
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -178,7 +181,8 @@ def connected_components(
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
     labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    for _it in range(max_iter):
+        _t0 = _time.time()
         neigh = (
             sym.alias("e")
             .join(labels.alias("l"), F.col("e.dst") == F.col("l.node"))
@@ -223,6 +227,17 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        # observability hook (scripts/bench_cc_scale.py): per-iteration
+        # wall + label-change count, no extra jobs beyond the existing
+        # convergence check
+        if stats is not None:
+            stats.setdefault("iterations", []).append(
+                {
+                    "iter": _it,
+                    "changed": changed,
+                    "sec": round(_time.time() - _t0, 2),
+                }
+            )
         if changed == 0:
             break
     return labels.withColumnRenamed("label", "component")
