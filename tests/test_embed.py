@@ -535,3 +535,22 @@ def test_cap_tiers_null_scores_agree(spark):
     assert key(lazy.collect()) == key(staged.collect())
     rel = {r["chunk_uuid"]: r["relevance"] for r in staged.collect()}
     assert rel["c3"] == "low" and rel["c5"] == "topic"
+
+
+def test_context_child_session_mode_agrees(spark, kg, monkeypatch):
+    """Opt-in AQE isolation (VKG_CTX_CHILD_SESSION=1): the staged build runs
+    on an AQE-off child session with rebound inputs; rows must equal the
+    default locked-toggle path and the primary session's AQE conf must be
+    untouched throughout."""
+    from vanna_financial_knowledge_graph_spark.operators.context import build_context
+
+    args = (
+        spark, kg["entities"], kg["relationships"], kg["chunks"],
+        kg["vectors"], "Apple Inc.", "earnings and acquisitions",
+    )
+    key = lambda rows: sorted(map(tuple, rows))
+    default_rows = key(build_context(*args).collect())
+    monkeypatch.setenv("VKG_CTX_CHILD_SESSION", "1")
+    child_rows = key(build_context(*args).collect())
+    assert child_rows == default_rows and child_rows
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -30,6 +30,8 @@ tests/test_embed.py::test_context_modes_agree):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -127,14 +129,26 @@ def build_context(
         # AQE pays off on big shuffles; on this interactive query — a chain
         # of dimension-sized stages — its per-stage re-planning adds a
         # scheduling round per mini-stage (measured ~2-3x wall on the
-        # composed selection). Run the staged selection on a CHILD session
-        # (spark.newSession(): own SQLConf, shared SparkContext/cache) with
-        # AQE off, so the toggle can never bleed into queries running
-        # concurrently on the primary session (ADVICE r4). The staged path
-        # lands its result as collected rows, so nothing cross-session
-        # escapes. Falls back to a locked set/restore on the primary
-        # session if plan rebinding is unavailable.
-        child = _aqe_off_child_session(spark)
+        # composed selection), so the staged call runs with AQE off.
+        #
+        # Two isolation mechanisms for that toggle:
+        # * default: a LOCKED set/restore on the primary session. Concurrent
+        #   queries on the same session during a build see AQE off for its
+        #   duration (ADVICE r4) — harmless for this engine's drivers,
+        #   which run read-path queries sequentially per session.
+        # * VKG_CTX_CHILD_SESSION=1: run the whole staged selection on a
+        #   cached AQE-off CHILD session (spark.newSession(): own SQLConf,
+        #   shared SparkContext/cache; inputs rebound via Dataset.ofRows),
+        #   so the toggle cannot bleed into ANY concurrent query. Opt-in
+        #   because it measured ~1-3 s slower per call at sf0.1 (the
+        #   rebind itself is ~8 ms; the residual is child-session execution
+        #   overhead) — the right trade only for deployments that actually
+        #   multiplex concurrent queries on one session.
+        child = (
+            _aqe_off_child_session(spark)
+            if os.environ.get("VKG_CTX_CHILD_SESSION", "0") == "1"
+            else None
+        )
         if child is not None:
             final = _staged_selection(
                 child,
