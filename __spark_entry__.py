@@ -38,31 +38,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-_KG_CACHE: dict[str, dict[str, DataFrame]] = {}
-
-_STREAM_DIRS: dict[str, str] = {}
-
-# serializes kg_stream_vectors' check-wipe-run-mark sequence: two threads
-# both observing a missing _done marker would rmtree and re-run the stream
-# over each other's live chunks/vecs/ckpt dirs (ADVICE r4; cross-process
-# safety already comes from the per-process dir)
 import threading
 
-_STREAM_LOCK = threading.Lock()
+_KG_CACHE: dict[str, dict[str, DataFrame]] = {}
+# guards the _KG_CACHE check-then-build: two driver threads racing into
+# run_pipeline for the same sf_dir would overwrite each other's stage
+# parquet in the SHARED deterministic work dir (each stage writes
+# mode("overwrite")) — the second thread must wait and reuse, not rebuild
+_KG_LOCK = threading.Lock()
+
+_STREAM_DIRS: dict[str, str] = {}
+# per-sf_dir locks for kg_stream_vectors' check-wipe-run-mark sequence:
+# two threads both observing a missing _done marker would rmtree and
+# re-run the stream over each other's live chunks/vecs/ckpt dirs
+# (ADVICE r4; cross-process safety comes from the per-process dir).
+# Per-key so a first run for one sf_dir never blocks an already-done
+# read for another; _STREAM_META_LOCK guards both small dicts.
+_STREAM_LOCKS: dict[str, threading.Lock] = {}
+_STREAM_META_LOCK = threading.Lock()
 
 
 def _stream_dir(sf_dir: str) -> str:
-    """One private stream work dir per (process, sf_dir), removed at exit."""
+    """One private stream work dir per (process, sf_dir), removed at exit.
+    Check-then-set runs under _STREAM_META_LOCK: two first-callers racing
+    here would otherwise each mkdtemp their own dir and duplicate the
+    whole stream run."""
     key = os.path.abspath(sf_dir)
-    if key not in _STREAM_DIRS:
-        import atexit
-        import shutil
-        import tempfile
+    with _STREAM_META_LOCK:
+        if key not in _STREAM_DIRS:
+            import atexit
+            import shutil
+            import tempfile
 
-        d = tempfile.mkdtemp(prefix="vkg_stream_entry_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _STREAM_DIRS[key] = d
-    return _STREAM_DIRS[key]
+            d = tempfile.mkdtemp(prefix="vkg_stream_entry_")
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+            _STREAM_DIRS[key] = d
+        return _STREAM_DIRS[key]
+
+
+def _stream_lock(sf_dir: str) -> threading.Lock:
+    key = os.path.abspath(sf_dir)
+    with _STREAM_META_LOCK:
+        return _STREAM_LOCKS.setdefault(key, threading.Lock())
 
 
 def _kg_work_dir(sf_dir: str) -> str:
@@ -77,13 +94,20 @@ def _kg_work_dir(sf_dir: str) -> str:
 
 
 def _kg(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Run (or resume) the KG pipeline for this sf_dir; cached per dir."""
+    """Run (or resume) the KG pipeline for this sf_dir; cached per dir.
+    The check-then-build holds _KG_LOCK so concurrent entry calls for the
+    same sf_dir build once and share (the lock spans the build
+    deliberately: the alternative is two overwrite-mode writers in one
+    stage dir)."""
     key = os.path.abspath(sf_dir)
-    if key not in _KG_CACHE:
-        from vanna_financial_knowledge_graph_spark.plans.pipeline import run_pipeline
+    with _KG_LOCK:
+        if key not in _KG_CACHE:
+            from vanna_financial_knowledge_graph_spark.plans.pipeline import (
+                run_pipeline,
+            )
 
-        _KG_CACHE[key] = run_pipeline(spark, sf_dir, _kg_work_dir(sf_dir))
-    return _KG_CACHE[key]
+            _KG_CACHE[key] = run_pipeline(spark, sf_dir, _kg_work_dir(sf_dir))
+        return _KG_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
@@ -1204,9 +1228,10 @@ def kg_stream_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-trigger the file source (fresh part filenames), so later calls
     # just read the terminal output — deterministic, so identical rows.
     base = _stream_dir(sf_dir)
-    # the whole check-wipe-run-mark sequence holds _STREAM_LOCK: two threads
-    # both seeing no _done would otherwise wipe/re-run over each other
-    with _STREAM_LOCK:
+    # the whole check-wipe-run-mark sequence holds this sf_dir's lock: two
+    # threads both seeing no _done would otherwise wipe/re-run over each
+    # other (per-key, so other sf_dirs' reads never wait on a first run)
+    with _stream_lock(sf_dir):
         if not os.path.exists(f"{base}/_done"):
             # no _done marker = first run OR a mid-stream failure left
             # partial sink output; wipe before re-running — rewriting the

@@ -31,11 +31,11 @@ tests/test_embed.py::test_context_modes_agree):
 from __future__ import annotations
 
 import os
+import threading
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-import threading
 
 from ..functions.embedding import EMBED_DIM, embed_text
 from .dedup import cosine_literal_expr
@@ -45,11 +45,8 @@ _AQE_LOCK = threading.Lock()
 
 # one AQE-off child session per primary session (keyed weakly so a torn-down
 # session doesn't pin its child); newSession shares SparkContext + cached
-# blocks but owns its SQLConf, so setting adaptive=false here is invisible
-# to every other query
-_CHILD_SESSIONS: "weakref.WeakKeyDictionary" = None  # initialized below
-import weakref
-
+# blocks but owns its SQLConf, so setting adaptive=false there is invisible
+# to every other query. False = probe failed once, don't retry per call.
 _CHILD_SESSIONS = weakref.WeakKeyDictionary()
 _CHILD_LOCK = threading.Lock()
 
@@ -57,19 +54,21 @@ _CHILD_LOCK = threading.Lock()
 def _aqe_off_child_session(spark: SparkSession) -> SparkSession | None:
     """The cached AQE-off child of `spark`, or None when plan rebinding
     isn't available in this Spark build (then callers fall back to a locked
-    conf toggle on the primary session)."""
-    try:  # probe the rebind surface once per session
-        with _CHILD_LOCK:
-            child = _CHILD_SESSIONS.get(spark)
-            if child is None:
+    conf toggle on the primary session). The probe runs ONCE per session —
+    success and failure are both cached, so a build without
+    Dataset.ofRows doesn't pay a discarded newSession per call."""
+    with _CHILD_LOCK:
+        child = _CHILD_SESSIONS.get(spark)
+        if child is None:
+            try:
                 child = spark.newSession()
                 child.conf.set("spark.sql.adaptive.enabled", "false")
                 # probe: Dataset.ofRows must exist for _rebind to work
                 _rebind(spark.range(1), child)
-                _CHILD_SESSIONS[spark] = child
-        return child
-    except Exception:  # noqa: BLE001 — conservative fallback, never fail
-        return None
+            except Exception:  # noqa: BLE001 — conservative fallback
+                child = False
+            _CHILD_SESSIONS[spark] = child
+        return child or None
 
 
 def _rebind(df: DataFrame, session: SparkSession) -> DataFrame:

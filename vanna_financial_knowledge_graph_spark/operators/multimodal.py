@@ -91,31 +91,49 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG scanline data has wrong length")
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = lines[:, 0]
-    out = np.zeros((h, stride), dtype=np.int32)
+    out = np.zeros((h, stride), dtype=np.int64)
     bpp = nch  # bytes per pixel at depth 8
-    zero = np.zeros(stride, dtype=np.int32)
+    zero = np.zeros(stride, dtype=np.int64)
     for y in range(h):
         f = int(ftypes[y])
-        rec = lines[y, 1:].astype(np.int32)
+        rec = lines[y, 1:].astype(np.int64)
         prev = out[y - 1] if y > 0 else zero
+        # Reconstruction is vectorized per scanline (the round-5 review
+        # flagged the original per-BYTE Python loop): None/Up are whole-row
+        # ops; Sub is an exact per-channel-lane cumulative sum mod 256;
+        # Average/Paeth carry a true left-pixel dependency, so they loop
+        # over the W pixels with the bpp channel lanes vectorized —
+        # O(W) numpy steps, never O(W*C) Python iterations.
         if f == 0:  # None
             pass
-        elif f == 2:  # Up — fully vectorized
+        elif f == 2:  # Up
             rec = (rec + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential in x by spec
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                if f == 1:
-                    add = a
-                elif f == 3:
-                    add = (a + b) // 2
-                else:
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    add = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (rec[x] + add) & 0xFF
+        elif f == 1:  # Sub: rec[i] = enc[i] + rec[i-1] per lane -> cumsum
+            rec = (rec.reshape(w, bpp).cumsum(axis=0) & 0xFF).reshape(stride)
+        elif f == 3:  # Average
+            e2, p2 = rec.reshape(w, bpp), prev.reshape(w, bpp)
+            o2 = np.empty((w, bpp), dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            for i in range(w):
+                left = (e2[i] + (left + p2[i]) // 2) & 0xFF
+                o2[i] = left
+            rec = o2.reshape(stride)
+        elif f == 4:  # Paeth
+            e2, p2 = rec.reshape(w, bpp), prev.reshape(w, bpp)
+            o2 = np.empty((w, bpp), dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            upleft = np.zeros(bpp, dtype=np.int64)
+            for i in range(w):
+                up = p2[i]
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                left = (e2[i] + pred) & 0xFF
+                o2[i] = left
+                upleft = up
+            rec = o2.reshape(stride)
         else:
             raise ValueError(f"bad PNG filter type {f}")
         out[y] = rec

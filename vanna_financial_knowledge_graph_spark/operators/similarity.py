@@ -256,6 +256,8 @@ def pq_train(
 
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if sample_fraction is not None and not 0.0 < sample_fraction <= 1.0:
+        raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
     if sample_fraction and sample_fraction < 1.0:
         embeddings = embeddings.sample(
             withReplacement=False, fraction=sample_fraction, seed=seed
@@ -266,6 +268,11 @@ def pq_train(
         .limit(max_train)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "pq_train: no training vectors (empty table, or sample_fraction "
+            "sampled zero rows) — cannot build codebooks"
+        )
     x = np.array([r["embedding"] for r in rows], dtype=np.float64)
     n, dsub = len(x), dim // m
     rng = np.random.RandomState(seed)
@@ -298,6 +305,7 @@ def ivf_pq_topk(
     ksub: int = 16,
     refine: int = 4,
     iters: int = 2,
+    pq_iters: int = 5,
     seed: int = 7,
     sample_fraction: float | None = None,
 ) -> DataFrame:
@@ -319,9 +327,12 @@ def ivf_pq_topk(
     from pyspark.sql.types import ArrayType, IntegerType
 
     dsub = dim // m
+    # iters budgets the coarse quantizer's Lloyd rounds; pq_iters budgets
+    # the per-subspace codebook k-means (separate knobs, both forwarded)
     centroids = ivf_train(embeddings, dim, n_centroids, iters, seed, sample_fraction)
     books = pq_train(
-        embeddings, dim, m, ksub, seed=seed, sample_fraction=sample_fraction
+        embeddings, dim, m, ksub, iters=pq_iters, seed=seed,
+        sample_fraction=sample_fraction,
     )
 
     books_list = books.tolist()  # serialized into the UDF closure
