@@ -1219,6 +1219,14 @@ def kg_stream_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_vectors,
     )
 
+    from vanna_financial_knowledge_graph_spark.functions.embedding import (
+        EMBED_DIM,
+        embed_text,
+    )
+    from vanna_financial_knowledge_graph_spark.operators.dedup import (
+        cosine_literal_expr,
+    )
+
     kg = _kg(spark, sf_dir)
     # per-process private dir (a fixed path keyed on sf_dir would let two
     # concurrent drivers — pytest + bench — clobber each other's stream
@@ -1248,8 +1256,23 @@ def kg_stream_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).awaitTermination()
             with open(f"{base}/_done", "w") as fh:
                 fh.write("ok")
-    return spark.read.parquet(f"{base}/vecs").select(
-        "kind", "uuid", F.to_json("embedding").alias("embedding_json"), "group_id"
+    # ORACLE-checked (round 5): the stream output is byte-equal to the
+    # batch vectors stage (pytest-pinned), so DuckDB verifies these rows
+    # against the MATERIALIZED batch vectors parquet. The embedding is
+    # surfaced as its cosine against a literal query vector (a 64-term dot
+    # projection — engine-portable, unlike float JSON formatting) plus the
+    # dimension, which pins both content and shape.
+    qv = embed_text(_CHUNK_SEARCH_Q, EMBED_DIM)
+    return (
+        spark.read.parquet(f"{base}/vecs")
+        .select(
+            "kind",
+            "uuid",
+            "group_id",
+            F.size("embedding").alias("dim"),
+            F.round(cosine_literal_expr("embedding", qv), 4).alias("qcos"),
+        )
+        .orderBy("uuid")
     )
 
 
@@ -1895,6 +1918,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_facts_by_uuids": _kg_facts_by_uuids_oracle(),
         "kg_documents_meta": _kg_documents_meta_oracle(),
         "kg_context_build": _kg_context_build_oracle(),
+        "kg_stream_vectors": _kg_stream_vectors_oracle(),
+        "kg_bucketed_join": _kg_bucketed_join_oracle(),
+        "kg_relationships": _kg_relationships_oracle(),
         "merge_upsert_agg": """
             WITH updates AS (
                 SELECT * REPLACE (c_acctbal + 1000.0 AS c_acctbal)
@@ -2097,6 +2123,58 @@ def _kg_documents_meta_oracle() -> str:
         WHERE group_id = 'default'
           AND map_extract(metadata, 'lang')[1] = 'en'
         ORDER BY doc_uuid
+    """
+
+
+def _kg_stream_vectors_oracle() -> str:
+    """The streaming vector index is byte-equal to the batch vectors stage
+    (tests/test_streaming.py pins it), so the batch parquet IS the truth to
+    check the stream rows against — kind/uuid/group/dim plus a cosine
+    projection of each embedding onto a literal query vector."""
+    return f"""
+        SELECT kind, uuid, group_id,
+               CAST(len(embedding) AS INT) AS dim,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            {_qvec_sql(_CHUNK_SEARCH_Q)}), 4)
+                 AS qcos
+        FROM {_kg_tbl("vectors")}
+        WHERE kind = 'chunk'
+        ORDER BY uuid
+    """
+
+
+def _kg_bucketed_join_oracle() -> str:
+    """Bucketing is a physical co-location detail; the query itself — fact
+    x chunk equi-join, per-subject counts, top-20 — is plain SQL over the
+    materialized facts/chunks tables."""
+    return f"""
+        SELECT subject_name, count(*) AS n_chunk_hits
+        FROM (SELECT chunk_uuid, subject_name FROM {_kg_tbl("facts")}) f
+        JOIN (SELECT chunk_uuid FROM {_kg_tbl("chunks")}) c USING (chunk_uuid)
+        GROUP BY subject_name
+        ORDER BY n_chunk_hits DESC, subject_name
+        LIMIT 20
+    """
+
+
+def _kg_relationships_oracle() -> str:
+    """G14 edge materializer verified value-level: the relationships stage
+    is a deterministic projection of the facts stage (one edge per fact,
+    sha256 edge id over 'edge\\x1f{fact uuid}', assembler.py:215-248) —
+    DuckDB recomputes it from the facts parquet."""
+    return f"""
+        SELECT sha256(concat('edge', chr(31), uuid)) AS id,
+               subject_uuid AS from_uuid,
+               'entity' AS from_type,
+               object_uuid AS to_uuid,
+               object_type AS to_type,
+               relationship_type AS rel_type,
+               chunk_uuid,
+               uuid AS fact_id,
+               content AS description,
+               date_context,
+               'default' AS group_id
+        FROM {_kg_tbl("facts")}
     """
 
 
