@@ -247,3 +247,25 @@ def test_merge_upsert_plan_shapes(spark):
     u = t.limit(100)
     p = _plan(merge_upsert(t, u, ["c_custkey"]))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_by_uuid_lookup_pushdown(spark, kg):
+    """The by-uuid hydration lookups (entities_by_uuids / facts_by_uuids)
+    must push their uuid IN-set and tenant filter into the parquet scan —
+    at 100 TB this is a literal-set scan prune, never a shuffle."""
+    from vanna_financial_knowledge_graph_spark.operators.readpath import (
+        entities_by_uuids,
+        facts_by_uuids,
+    )
+
+    ids = [r["uuid"] for r in kg["entities"].limit(2).collect()]
+    p = _plan(entities_by_uuids(kg["entities"], ids).select("uuid", "name"))
+    # (the uuid IN-set itself is elided by plan-string truncation; the
+    # PushedFilters marker + the IN filter + no shuffle are the evidence)
+    assert "PushedFilters: [" in p and "In(uuid" in p
+    assert "Exchange" not in p
+
+    fids = [r["uuid"] for r in kg["facts"].limit(2).collect()]
+    p2 = _plan(facts_by_uuids(kg["facts"], fids).select("uuid"))
+    assert "PushedFilters: [" in p2 and "In(uuid" in p2
+    assert "Exchange" not in p2
