@@ -282,12 +282,18 @@ class PipelineRun:
                 # tenant filter (topic_resolver.py:357-369), so the vectors
                 # stage below embeds both and search_topics(group_id=
                 # 'ontology') resolves against the ontology space
+                # repartition(1), NOT coalesce(1): coalesce over this
+                # union (broadcast-joined corpus topics + local-relation
+                # ontology rows) collapses the whole upstream into one
+                # task and measured ~5x slower (5.5 s vs 1.4 s at sf0.1);
+                # the explicit exchange keeps the distinct/join parallel
+                # and only the tiny 102-row result lands on one writer
                 "topics": lambda: self._run_stage(
                     "topics",
                     ["mentions"],
                     lambda: build_topics(spark, mentions, gid)
                     .unionByName(ontology_topics(spark))
-                    .coalesce(1),
+                    .repartition(1),
                 ),
             }
         )
