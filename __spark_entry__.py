@@ -1921,6 +1921,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_stream_vectors": _kg_stream_vectors_oracle(),
         "kg_bucketed_join": _kg_bucketed_join_oracle(),
         "kg_relationships": _kg_relationships_oracle(),
+        "kg_triples": _kg_triples_oracle(),
+        "kg_entities": _kg_entities_oracle(),
+        "kg_topics": _kg_topics_oracle(),
+        "kg_canonical_map": _kg_canonical_map_oracle(),
         "merge_upsert_agg": """
             WITH updates AS (
                 SELECT * REPLACE (c_acctbal + 1000.0 AS c_acctbal)
@@ -2175,6 +2179,290 @@ def _kg_relationships_oracle() -> str:
                date_context,
                'default' AS group_id
         FROM {_kg_tbl("facts")}
+    """
+
+
+def _sql_values(rows, cols: str, alias: str) -> str:
+    """Inline rows as a DuckDB VALUES relation. Used to hand the oracle the
+    same gazetteer/ontology/registry data the Spark side broadcasts —
+    generated from the identical Python source, uniqueness asserted by the
+    generators below so both engines see one row per key."""
+
+    def lit(v):
+        return "NULL" if v is None else "'" + str(v).replace("'", "''") + "'"
+
+    body = ", ".join("(" + ", ".join(lit(x) for x in r) + ")" for r in rows)
+    return f"(VALUES {body}) AS {alias}({cols})"
+
+
+def _onto_surfaces_values(alias: str = "ot") -> str:
+    """(name_norm, topic_uuid, label) per ontology surface incl. synonyms —
+    the oracle twin of assemble.ontology_df."""
+    from vanna_financial_knowledge_graph_spark.functions.textops import norm_name
+    from vanna_financial_knowledge_graph_spark.gazetteer import ontology_rows
+
+    rows: dict[str, tuple] = {}
+    for t in ontology_rows():
+        for s in [t["label"], *t["synonyms"]]:
+            sn = norm_name(s)
+            prev = rows.get(sn)
+            if prev is not None and prev[1] != t["topic_uuid"]:
+                raise AssertionError(
+                    f"ontology surface {sn!r} maps to two topics — the "
+                    "Spark dropDuplicates pick would be nondeterministic"
+                )
+            rows[sn] = (sn, t["topic_uuid"], t["label"])
+    return _sql_values(
+        sorted(rows.values()), "name_norm, topic_uuid, label", alias
+    )
+
+
+def _registry_defs_values(alias: str = "reg") -> str:
+    """(cn, definition) per registry canonical — oracle twin of the
+    build_entities registry join side."""
+    from vanna_financial_knowledge_graph_spark.functions.textops import norm_name
+    from vanna_financial_knowledge_graph_spark.gazetteer import registry_rows
+
+    rows: dict[str, tuple] = {}
+    for r in registry_rows():
+        cn = norm_name(r["canonical_name"])
+        prev = rows.get(cn)
+        if prev is not None and prev[1] != r["definition"]:
+            raise AssertionError(f"registry canonical {cn!r} has two definitions")
+        rows[cn] = (cn, r["definition"])
+    return _sql_values(sorted(rows.values()), "cn, definition", alias)
+
+
+def _onto_topics_values(alias: str = "onto") -> str:
+    """Full ontology vertex rows — oracle twin of assemble.ontology_topics."""
+    from vanna_financial_knowledge_graph_spark.gazetteer import ontology_rows
+
+    rows = [
+        (
+            t["topic_uuid"], t["label"], t["definition"], t["uri"],
+            t["parent_uuid"], t["parent_label"],
+        )
+        for t in ontology_rows()
+    ]
+    return _sql_values(
+        sorted(rows),
+        "uuid, name, definition, uri, parent_uuid, parent_name",
+        alias,
+    )
+
+
+def _registry_surfaces_values(alias: str = "rs") -> str:
+    """(name_norm, canonical_name, canonical_norm, entity_type, definition)
+    per registry surface — oracle twin of canonicalize.registry_surfaces_df
+    including its deterministic dedup (smallest canonical_norm wins a
+    shared surface)."""
+    from vanna_financial_knowledge_graph_spark.functions.textops import norm_name
+    from vanna_financial_knowledge_graph_spark.gazetteer import registry_rows
+
+    dedup: dict[str, tuple] = {}
+    for r in registry_rows():
+        cn = norm_name(r["canonical_name"])
+        surfaces = {r["canonical_name"], *r["aliases"]}
+        if r["ticker"]:
+            surfaces.add(r["ticker"])
+        for s in surfaces:
+            sn = norm_name(s)
+            if sn and (sn not in dedup or dedup[sn][2] > cn):
+                dedup[sn] = (
+                    sn, r["canonical_name"], cn, r["entity_type"], r["definition"]
+                )
+    return _sql_values(
+        sorted(dedup.values()),
+        "name_norm, canonical_name, canonical_norm, entity_type, definition",
+        alias,
+    )
+
+
+def _kg_canonical_map_oracle() -> str:
+    """The canonicalization core (G4/G5/G9/G15) recomputed end-to-end in
+    DuckDB from the materialized mentions table + the inline registry:
+    suffix-strip and registry-alias similarity edges, connected components
+    as a recursive transitive closure (min reachable surface = component),
+    per-component canonical pick by the same struct-max order (registry
+    member first, then longest/greatest display, type priority), and the
+    deterministic sha256 entity uuid. Verifies the driver union-find AND
+    the distributed label-propagation path (pytest pins them equal)
+    against an independent third implementation."""
+    from vanna_financial_knowledge_graph_spark.operators.canonicalize import (
+        _SUFFIX_RE_REPEATED,
+        _TYPE_PRIORITY,
+    )
+
+    trank = " ".join(
+        f"WHEN etype = '{t}' THEN {r}" for t, r in _TYPE_PRIORITY.items()
+    )
+    return f"""
+        WITH RECURSIVE surfaces AS (
+            SELECT DISTINCT name_norm FROM {_kg_tbl("mentions")}
+            WHERE kind = 'entity'
+        ), reg AS (
+            SELECT * FROM {_registry_surfaces_values()}
+        ), strip_edges AS (
+            SELECT name_norm AS src,
+                   regexp_replace(name_norm, '{_SUFFIX_RE_REPEATED}', '') AS dst
+            FROM surfaces
+            WHERE regexp_replace(name_norm, '{_SUFFIX_RE_REPEATED}', '')
+                  <> name_norm
+        ), alias_edges AS (
+            SELECT name_norm AS src, canonical_norm AS dst FROM reg
+            WHERE name_norm <> canonical_norm
+        ), edges0 AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT * FROM strip_edges UNION ALL SELECT * FROM alias_edges
+            )
+        ), nodes AS (
+            SELECT DISTINCT name_norm AS node FROM (
+                SELECT name_norm FROM surfaces
+                UNION ALL SELECT name_norm FROM reg
+                UNION ALL SELECT canonical_norm FROM reg
+                UNION ALL SELECT src FROM edges0
+                UNION ALL SELECT dst FROM edges0
+            )
+        ), sym AS (
+            SELECT src AS a, dst AS b FROM edges0
+            UNION SELECT dst, src FROM edges0
+        ), reach AS (
+            SELECT a AS node, a AS r FROM sym
+            UNION
+            SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+        ), comp AS (
+            SELECT n.node, coalesce(min(reach.r), n.node) AS component
+            FROM nodes n LEFT JOIN reach ON n.node = reach.node
+            GROUP BY n.node
+        ), surface_counts AS (
+            SELECT name_norm, name, entity_type, count(*) AS cnt
+            FROM {_kg_tbl("mentions")}
+            WHERE kind = 'entity'
+            GROUP BY 1, 2, 3
+        ), surface_pick AS (
+            SELECT name_norm, name AS mention_name,
+                   entity_type AS mention_type
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY name_norm
+                    ORDER BY cnt DESC, name DESC, entity_type DESC) AS rn
+                FROM surface_counts
+            ) WHERE rn = 1
+        ), node_info AS (
+            SELECT c.node AS name_norm, c.component,
+                   (reg.canonical_name IS NOT NULL) AS is_registry,
+                   coalesce(reg.canonical_name, sp.mention_name, c.node)
+                     AS display,
+                   coalesce(reg.entity_type, sp.mention_type, 'unknown')
+                     AS etype,
+                   coalesce(reg.definition, '') AS definition
+            FROM comp c
+            LEFT JOIN reg ON c.node = reg.name_norm
+            LEFT JOIN surface_pick sp ON c.node = sp.name_norm
+        ), best AS (
+            SELECT component, display AS canonical_name,
+                   CASE WHEN etype = 'unknown' THEN 'concept' ELSE etype END
+                     AS entity_type
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY component
+                    ORDER BY is_registry DESC, length(display) DESC,
+                             display DESC, (9 - CASE {trank} ELSE 9 END) DESC,
+                             etype DESC, definition DESC) AS rn
+                FROM node_info
+            ) WHERE rn = 1
+        )
+        SELECT ni.name_norm,
+               sha256(concat('entity', chr(31), 'default', chr(31),
+                             lower(b.canonical_name), chr(31),
+                             b.entity_type)) AS entity_uuid,
+               b.canonical_name, b.entity_type, ni.component,
+               'default' AS group_id
+        FROM node_info ni JOIN best b USING (component)
+    """
+
+
+def _kg_triples_oracle() -> str:
+    """The fact-linking stage (J8/J9, link_facts) recomputed from the
+    materialized facts_raw + canonical_map tables plus the inline ontology:
+    subject resolves through the canonical entity map (inner — unresolved
+    drops), object through the map or the ontology by kind, unresolved
+    objects drop (reference knowledge_graph.py:348-370)."""
+    return f"""
+        WITH cmap AS (
+            SELECT name_norm, entity_uuid, canonical_name
+            FROM {_kg_tbl("canonical_map")}
+        ), linked AS (
+            SELECT fr.fact_uuid, fr.content, fr.object_kind,
+                   fr.relationship_type, fr.date_context, fr.chunk_uuid,
+                   s.entity_uuid AS subject_uuid,
+                   s.canonical_name AS subject_name,
+                   CASE WHEN fr.object_kind = 'topic' THEN ot.topic_uuid
+                        ELSE oe.entity_uuid END AS object_uuid,
+                   CASE WHEN fr.object_kind = 'topic' THEN ot.label
+                        ELSE oe.canonical_name END AS object_name
+            FROM {_kg_tbl("facts_raw")} fr
+            JOIN cmap s ON fr.subject_norm = s.name_norm
+            LEFT JOIN cmap oe ON fr.object_norm = oe.name_norm
+            LEFT JOIN {_onto_surfaces_values()} ON fr.object_norm = ot.name_norm
+        )
+        SELECT fact_uuid AS uuid, content, subject_uuid, subject_name,
+               object_uuid, object_name, object_kind AS object_type,
+               relationship_type, date_context, chunk_uuid,
+               'default' AS group_id
+        FROM linked WHERE object_uuid IS NOT NULL
+    """
+
+
+def _kg_entities_oracle() -> str:
+    """The entity vertex builder (G9/A4/G15, build_entities) recomputed
+    from the materialized mentions + canonical_map tables plus the inline
+    registry definitions: per-canonical alias sets = sorted distinct
+    observed spellings minus the canonical name; summary = registry
+    definition when known."""
+    return f"""
+        WITH observed AS (
+            SELECT c.entity_uuid, c.canonical_name, c.entity_type,
+                   list_sort(list_filter(list(DISTINCT m.name),
+                                         x -> x <> '')) AS surfaces
+            FROM (SELECT name_norm, name FROM {_kg_tbl("mentions")}
+                  WHERE kind = 'entity') m
+            JOIN (SELECT name_norm, entity_uuid, canonical_name, entity_type
+                  FROM {_kg_tbl("canonical_map")}) c USING (name_norm)
+            GROUP BY 1, 2, 3
+        )
+        SELECT o.entity_uuid AS uuid, o.canonical_name AS name,
+               coalesce(reg.definition, '') AS summary, o.entity_type,
+               to_json(list_filter(o.surfaces, x -> x <> o.canonical_name))
+                 AS aliases,
+               'default' AS group_id
+        FROM observed o
+        LEFT JOIN {_registry_defs_values()} ON lower(o.canonical_name) = reg.cn
+    """
+
+
+def _kg_topics_oracle() -> str:
+    """The topics stage recomputed: ontology entries observed in the corpus
+    (distinct topic-mention surface -> ontology match, G12) under the
+    corpus namespace, plus the full ontology under group_id='ontology'."""
+    return f"""
+        WITH seen AS (
+            SELECT DISTINCT name_norm FROM {_kg_tbl("mentions")}
+            WHERE kind = 'topic'
+        ), surf AS (
+            SELECT * FROM {_onto_surfaces_values()}
+        ), corpus AS (
+            SELECT DISTINCT onto.uuid, onto.name, onto.definition, onto.uri,
+                   onto.parent_uuid, onto.parent_name, 'default' AS group_id
+            FROM seen s
+            JOIN surf ON s.name_norm = surf.name_norm
+            JOIN {_onto_topics_values()} ON surf.topic_uuid = onto.uuid
+        )
+        SELECT * FROM corpus
+        UNION ALL
+        SELECT uuid, name, definition, uri, parent_uuid, parent_name,
+               'ontology' AS group_id
+        FROM {_onto_topics_values()}
     """
 
 
