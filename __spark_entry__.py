@@ -946,11 +946,30 @@ def kg_stats_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector-index table (kind, uuid, embedding) built in-pipeline (U3)."""
-    v = _kg(spark, sf_dir)["vectors"]
-    return v.select(
-        "kind", "uuid", F.to_json("embedding").alias("embedding_json"), "group_id"
+    """Vector-index table (kind, uuid, embedding) built in-pipeline (U3).
+    ORACLE-checked (round 5): DuckDB recomputes the ENTIRE feature-hash
+    encoder from the materialized source tables — per-token CRC32 via a
+    literal lookup table, signed scatter-add over 64 dims, float32-cast
+    L2 normalization — and compares each embedding through its cosine
+    projection onto a literal query vector (engine-portable, unlike
+    float JSON formatting)."""
+    from vanna_financial_knowledge_graph_spark.functions.embedding import (
+        EMBED_DIM,
+        embed_text,
     )
+    from vanna_financial_knowledge_graph_spark.operators.dedup import (
+        cosine_literal_expr,
+    )
+
+    v = _kg(spark, sf_dir)["vectors"]
+    qv = embed_text(_CONTEXT_Q, EMBED_DIM)
+    return v.select(
+        "kind",
+        "uuid",
+        "group_id",
+        F.size("embedding").alias("dim"),
+        F.round(cosine_literal_expr("embedding", qv), 4).alias("qcos"),
+    ).orderBy("kind", "uuid", "group_id")
 
 
 # query texts shared between each Spark search entry and its DuckDB oracle
@@ -1925,6 +1944,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": _kg_entities_oracle(),
         "kg_topics": _kg_topics_oracle(),
         "kg_canonical_map": _kg_canonical_map_oracle(),
+        "kg_vectors": _kg_vectors_oracle(),
         "merge_upsert_agg": """
             WITH updates AS (
                 SELECT * REPLACE (c_acctbal + 1000.0 AS c_acctbal)
@@ -2276,6 +2296,122 @@ def _registry_surfaces_values(alias: str = "rs") -> str:
         "name_norm, canonical_name, canonical_norm, entity_type, definition",
         alias,
     )
+
+
+def _crc32_table_sql() -> str:
+    """The 256-entry CRC-32 (IEEE, zlib.crc32) lookup table as a SQL list
+    literal — lets DuckDB hash tokens bit-identically to the Python/NumPy
+    encoder (byte-at-a-time table algorithm)."""
+    table = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (0xEDB88320 ^ (c >> 1)) if (c & 1) else (c >> 1)
+        table.append(c)
+    return "[" + ",".join(map(str, table)) + "]"
+
+
+def _kg_vectors_oracle() -> str:
+    """The U3/U4 feature-hash encoder (functions/embedding.py) recomputed
+    in DuckDB from the materialized chunk/entity/fact/topic tables: tokens
+    = whitespace-split lowercased text (parity between Python str.split/
+    str.lower and RE2 \\s+/DuckDB lower holds because the corpus carries
+    no exotic-whitespace or case-ambiguous non-ASCII chars — pinned by
+    test_embed_text_unicode_invariants), per-token CRC32 over UTF-8 BYTES
+    (chars expand through an inline SQL UTF-8 encoder) via the literal
+    lookup table, dimension = crc % 64, sign = bit 16, signed scatter-add,
+    float32-cast L2 normalization, then the same cosine-vs-literal
+    projection the Spark entry emits. Verifies the embeddings every
+    search oracle consumes."""
+    import math
+
+    from vanna_financial_knowledge_graph_spark.functions.embedding import (
+        EMBED_DIM,
+        embed_text,
+    )
+
+    qv = embed_text(_CONTEXT_Q, EMBED_DIM)
+    qv_lit = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    qn = repr(math.sqrt(sum(float(x) * float(x) for x in qv)))
+    # per-character UTF-8 byte expansion (the Python encoder hashes UTF-8
+    # BYTES; chunk text carries a few non-ASCII chars — é/ï/em-dash — so
+    # ord(c) alone would mis-hash them; none are case- or
+    # whitespace-ambiguous, pinned by test_embed_text_unicode_invariants)
+    utf8 = """
+        flatten(list_transform(
+          list_filter(string_split(tok, ''), c -> c <> ''),
+          c -> CASE
+            WHEN ord(c) < 128 THEN [CAST(ord(c) AS BIGINT)]
+            WHEN ord(c) < 2048 THEN
+              [CAST(192 + ord(c) // 64 AS BIGINT),
+               CAST(128 + ord(c) % 64 AS BIGINT)]
+            WHEN ord(c) < 65536 THEN
+              [CAST(224 + ord(c) // 4096 AS BIGINT),
+               CAST(128 + (ord(c) // 64) % 64 AS BIGINT),
+               CAST(128 + ord(c) % 64 AS BIGINT)]
+            ELSE
+              [CAST(240 + ord(c) // 262144 AS BIGINT),
+               CAST(128 + (ord(c) // 4096) % 64 AS BIGINT),
+               CAST(128 + (ord(c) // 64) % 64 AS BIGINT),
+               CAST(128 + ord(c) % 64 AS BIGINT)]
+          END))"""
+    crc = f"""
+        xor(CAST(list_reduce(
+              list_prepend(CAST(4294967295 AS BIGINT), {utf8}),
+              (acc, b) -> xor(acc // 256,
+                              ({_crc32_table_sql()})[CAST(xor(acc, b) % 256
+                                                          AS INT) + 1])
+            ) AS BIGINT), 4294967295)"""
+    return f"""
+        WITH texts AS (
+            SELECT 'chunk' AS kind, chunk_uuid AS uuid, group_id,
+                   content AS text
+            FROM {_kg_tbl("chunks")}
+            UNION ALL
+            SELECT 'entity', uuid, group_id, concat_ws(' ', name, summary)
+            FROM {_kg_tbl("entities")}
+            UNION ALL
+            SELECT 'fact', uuid, group_id, content FROM {_kg_tbl("facts")}
+            UNION ALL
+            SELECT 'topic', uuid, group_id, concat_ws(': ', name, definition)
+            FROM {_kg_tbl("topics")}
+        ), toks AS (
+            SELECT kind, uuid, group_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '')) AS tok
+            FROM texts
+        ), dims AS (
+            SELECT kind, uuid, group_id,
+                   CAST(h % 64 AS INT) AS dim_idx,
+                   CASE WHEN (h // 65536) % 2 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+            FROM (SELECT kind, uuid, group_id, {crc} AS h FROM toks)
+        ), acc AS (
+            SELECT kind, uuid, group_id, dim_idx, sum(sgn) AS v
+            FROM dims GROUP BY 1, 2, 3, 4
+        ), nrm AS (
+            SELECT kind, uuid, group_id, sqrt(sum(v * v)) AS n
+            FROM acc GROUP BY 1, 2, 3
+        ), comp AS (
+            -- float32-cast components: the Spark side stores float32, so
+            -- the oracle quantizes identically before the cosine
+            SELECT a.kind, a.uuid, a.group_id,
+                   CAST(CAST(a.v / n.n AS FLOAT) AS DOUBLE) AS e,
+                   ({qv_lit})[a.dim_idx + 1] AS q
+            FROM acc a JOIN nrm n USING (kind, uuid, group_id)
+            WHERE n.n > 0
+        ), vec AS (
+            SELECT kind, uuid, group_id,
+                   sum(e * q) AS dot, sum(e * e) AS n2
+            FROM comp GROUP BY 1, 2, 3
+        )
+        SELECT t.kind, t.uuid, t.group_id, 64 AS dim,
+               round(CASE WHEN sqrt(v.n2) > 0
+                          THEN v.dot / (sqrt(v.n2) * {qn}) END, 4) AS qcos
+        FROM texts t
+        LEFT JOIN vec v USING (kind, uuid, group_id)
+        ORDER BY kind, uuid, group_id
+    """
 
 
 def _kg_canonical_map_oracle() -> str:

@@ -202,3 +202,44 @@ def test_topics_table_carries_ontology_namespace(kg):
         for r in kg["vectors"].select("kind", "group_id").distinct().collect()
     }
     assert ("topic", "ontology") in vec_gids and ("topic", "default") in vec_gids
+
+
+def test_embed_text_unicode_invariants(kg):
+    """The kg_vectors oracle recomputes the feature-hash encoder in DuckDB;
+    its tokenization parity (Python str.split/str.lower vs RE2 \\s+ /
+    DuckDB lower) requires that no embedded text contains (a) a non-ASCII
+    char Python treats as whitespace but RE2 \\s does not (NBSP, \\x85,
+    unicode spaces, \\x0b, \\x1c-\\x1f), or (b) a non-ASCII char whose
+    lowercase differs from itself (case mappings can diverge between
+    engines). Pin both so a future corpus change fails HERE with a clear
+    message instead of as an oracle value mismatch."""
+    import pyspark.sql.functions as F
+
+    # \x0b \x1c-\x1f \x85 NBSP ogham en..hair-space LS PS NNBSP
+    # math-space ideographic-space: every char where Python
+    # str.split and RE2 \s disagree
+    ws = ("\\x0b\\x1c-\\x1f\\x85\\u00a0\\u1680"
+          "\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000")
+
+    sources = [
+        kg["chunks"].select(F.col("content").alias("t")),
+        kg["entities"].select(F.concat_ws(" ", "name", "summary").alias("t")),
+        kg["facts"].select(F.col("content").alias("t")),
+        kg["topics"].select(F.concat_ws(": ", "name", "definition").alias("t")),
+    ]
+    all_text = sources[0]
+    for s in sources[1:]:
+        all_text = all_text.unionByName(s)
+    bad_ws = all_text.where(F.col("t").rlike(f"[{ws}]")).count()
+    assert bad_ws == 0, f"{bad_ws} rows with exotic whitespace"
+    # non-ASCII chars present must be case-stable (c.lower() == c)
+    chars = {
+        c
+        for (row,) in all_text.select(
+            F.explode(F.split(F.col("t"), "")).alias("c")
+        ).where(F.col("c") != "").distinct().collect()
+        for c in [row]
+        if ord(row) > 127
+    }
+    unstable = {c for c in chars if c.lower() != c or c.isspace()}
+    assert not unstable, f"case/space-unstable non-ASCII chars: {unstable!r}"
