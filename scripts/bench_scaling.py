@@ -104,26 +104,16 @@ def main() -> int:
     }
     print(json.dumps(summary))
 
-    md = f"""# BENCH — scaling-efficiency evidence (north rule)
-
-Same full KG-construction DAG on identical input ({sf_dir}, {docs} docs),
-cold run (resume checkpoints wiped), two parallelism levels in separate JVMs
-(best of {runs} runs each; sandbox stand-in for N vs 4N executor clusters per
-driver instruction).
-
-| cores | wall sec | docs/sec |
-|---|---|---|
-| local[{n}] (N) | {tn:.1f} | {docs / tn:.1f} |
-| local[{4 * n}] (4N) | {t4n:.1f} | {docs / t4n:.1f} |
-
-**Speedup N->4N: {speedup:.2f}x  ->  scaling efficiency {eff:.2f}**
-(target >= 0.8; efficiency = speedup / 4)
-
-Regenerate: `python scripts/bench_scaling.py {sf_dir} {n} {runs}`
-"""
-    with open(os.path.join(os.path.dirname(__file__), "..", "BENCH.md"), "w") as f:
-        f.write(md)
-    print("wrote BENCH.md")
+    # BENCH.md is hand-curated (protocol notes, multi-round history) — the
+    # script must never overwrite it (it clobbered the curated file once in
+    # round 5). Raw results land in a sidecar JSON; fold numbers into
+    # BENCH.md by hand.
+    out_path = os.path.join(
+        os.path.dirname(__file__), "..", "BENCH_SCALING_LAST.json"
+    )
+    with open(out_path, "w") as f:
+        json.dump({"summary": summary, "levels": {str(k): v for k, v in results.items()}}, f, indent=1)
+    print(f"wrote {os.path.basename(out_path)} (fold into BENCH.md manually)")
     return 0
 
 
