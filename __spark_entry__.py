@@ -822,6 +822,53 @@ def ivf_pq_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
 
 
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 as-of join (added round 5): every error event picks the most
+    recent PURCHASE event of the same user at or before its timestamp —
+    the point-in-time enrichment shape (features-as-of, last-trade-price).
+    Spark runs the union-tag + running-last formulation (one shuffle);
+    the oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, i.e. an independent
+    implementation of the semantics."""
+    from vanna_financial_knowledge_graph_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.round("value", 2).alias("p_value"),
+    )
+    return (
+        asof_join(
+            errors, purchases, "user_id", "ts", "p_ts",
+            ["p_event_id", "p_value"],
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            F.col("asof_p_event_id").alias("prior_purchase_id"),
+            F.col("asof_p_value").alias("prior_purchase_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def intersect_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET4 intersect/except (added round 5): BUILDING-segment customers
+    split into those who also hold acctbal > 5000 (INTERSECT) and those
+    who don't (EXCEPT), tagged and unioned."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    both = a.intersect(b).withColumn("membership", F.lit("both"))
+    only = a.subtract(b).withColumn("membership", F.lit("building_only"))
+    return both.unionByName(only).orderBy("c_custkey")
+
+
 def media_features_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload -> feature rows (decode stubbed)."""
     from vanna_financial_knowledge_graph_spark.operators.multimodal import (
@@ -1495,6 +1542,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": simhash_candidates,
         "distinct_user_sketch": distinct_user_sketch,
         "media_features_stub": media_features_stub,
+        "asof_join_events": asof_join_events,
+        "intersect_except_customers": intersect_except_customers,
         # approximate ANN (no oracle by design; recall-bound pytest in
         # tests/test_similarity.py) — moved out of the driver window in
         # round 5 to make room for oracle-able point lookups
@@ -1922,6 +1971,37 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
             ORDER BY doc_a, doc_b
+        """,
+        # round-5 completeness: J11 as-of join vs DuckDB's NATIVE ASOF
+        # JOIN; SET4 intersect/except vs SQL set operators
+        "asof_join_events": """
+            WITH errors AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'error'
+            ), purchases AS (
+                SELECT user_id, ts AS p_ts, event_id AS p_event_id,
+                       round(value, 2) AS p_value
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT e.event_id, e.user_id,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+                   p.p_event_id AS prior_purchase_id,
+                   p.p_value AS prior_purchase_value
+            FROM errors e
+            ASOF LEFT JOIN purchases p
+              ON e.user_id = p.user_id AND e.ts >= p.p_ts
+            ORDER BY e.event_id
+        """,
+        "intersect_except_customers": """
+            WITH a AS (SELECT c_custkey FROM customer
+                       WHERE c_mktsegment = 'BUILDING'),
+                 b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+            SELECT c_custkey, 'both' AS membership
+            FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+            UNION ALL
+            SELECT c_custkey, 'building_only'
+            FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+            ORDER BY c_custkey
         """,
         # KG read-path oracles: DuckDB recomputes the search / lookup /
         # context math over the pipeline's materialized stage parquet

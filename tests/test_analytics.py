@@ -159,3 +159,29 @@ def test_percentile_and_json_extract(spark):
     jb = {r["k_bucket"]: r["n_events"] for r in A.json_props_extract(events).collect()}
     # k = 10,20,30,40,50 -> buckets 1..5
     assert jb == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_asof_join_hand_fixture(spark):
+    """J11 as-of join semantics on a hand-computed fixture: latest right
+    row at-or-before each left ts per key, inclusive at equal timestamps,
+    NULL payload when no prior right row exists."""
+    from vanna_financial_knowledge_graph_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("e1", "u1", 10), ("e2", "u1", 25), ("e3", "u1", 5), ("e4", "u2", 7)],
+        "id string, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, "r10"), ("u1", 20, "r20"), ("u2", 8, "r8")],
+        "k string, rt long, label string",
+    )
+    got = {
+        r["id"]: r["asof_label"]
+        for r in asof_join(left, right, "k", "t", "rt", ["label"]).collect()
+    }
+    assert got == {
+        "e1": "r10",  # inclusive: rt == t matches
+        "e2": "r20",  # latest prior
+        "e3": None,   # nothing at or before t=5
+        "e4": None,   # u2's only right row is later (8 > 7)
+    }
