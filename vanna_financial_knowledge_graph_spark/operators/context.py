@@ -265,8 +265,10 @@ def _staged_selection(
         .cache()
     )
 
-    src_entity = (
-        seed_edges.select("chunk_uuid").distinct().withColumn("source", F.lit("entity"))
+    # no distinct: the per-chunk groupBy in the final tree dedups all tag
+    # sources in one aggregation
+    src_entity = seed_edges.select("chunk_uuid").withColumn(
+        "source", F.lit("entity")
     )
     # top-k neighbors by connection count (A2/W3) and the seed's topic
     # uuids in ONE tagged driver collect (k + |topics| rows) — this is also
@@ -297,13 +299,25 @@ def _staged_selection(
     # the neighbor/topic collect and the global top-k are independent:
     # submit them as CONCURRENT jobs (Spark's scheduler interleaves them;
     # on a cluster they'd run on disjoint executors) — saves one full
-    # job-latency round on the interactive path
+    # job-latency round on the interactive path.
+    #
+    # `scored` is the corpus-wide (chunk_uuid, score) projection, computed
+    # in the scan (narrow) and cached SKINNY: the global top-k consumes all
+    # its partitions, which fully populates the cache, so the candidate
+    # join below reuses the scores without a second corpus-wide cosine and
+    # without ever shuffling the embedding column (round-6: the old
+    # post-join cosine moved ~216k x 64-float embeddings through an
+    # exchange at sf1.0).
     chunk_vecs = vectors.where(
         (F.col("kind") == "chunk") & (F.col("group_id") == group_id)
     ).select(F.col("uuid").alias("chunk_uuid"), "embedding")
-    global_topk = (
+    scored = (
         chunk_vecs.withColumn("score", cosine_literal_expr("embedding", qv))
-        .orderBy(F.desc("score"), "chunk_uuid")
+        .select("chunk_uuid", "score")
+        .cache()
+    )
+    global_topk = (
+        scored.orderBy(F.desc("score"), "chunk_uuid")
         .limit(caps.get("global", 10))
         .select("chunk_uuid")
     )
@@ -318,7 +332,13 @@ def _staged_selection(
     tuuids = [row["v"] for row in tagged if row["t"] == "t"]
 
     # edge-table scan 2 of 2: neighbor chunks (neighbor as EITHER endpoint,
-    # researcher.py:732-769) and topic chunks in ONE tagged pass
+    # researcher.py:732-769) and topic chunks in ONE tagged pass. No distinct
+    # and no cache here (round-6): the per-chunk groupBy below subsumes the
+    # dedup, and map-side partial aggregation collapses the tag rows before
+    # the one exchange — the old distinct+cache+broadcast(hit_ids) chain
+    # materialized the candidate set three times, which at sf1.0 is ~212k
+    # chunks (a hot entity's 1-hop neighborhood is corpus-scale, NOT
+    # dimension-sized), costing ~4s of the interactive path.
     is_neighbor = F.col("from_uuid").isin(nuuids) | F.col("to_uuid").isin(nuuids)
     is_topic = (F.col("to_type") == "topic") & F.col("to_uuid").isin(tuuids)
     tags = F.array_compact(
@@ -327,43 +347,81 @@ def _staged_selection(
             F.when(is_topic, F.lit("topic")),
         )
     )
-    pass2 = (
-        r.where(is_neighbor | is_topic)
-        .select("chunk_uuid", F.explode(tags).alias("source"))
-        .distinct()
-        .cache()
+    pass2 = r.where(is_neighbor | is_topic).select(
+        "chunk_uuid", F.explode(tags).alias("source")
     )
-    src_neighbor = pass2.where(F.col("source") == "neighbor")
-    src_topic = pass2.where(F.col("source") == "topic")
 
     src_global = spark.createDataFrame(
         [(g, "global") for g in gids], "chunk_uuid string, source string"
     )
 
-    all_src = src_entity.unionByName(src_neighbor).unionByName(src_global)
-    hit_ids = (
-        all_src.select("chunk_uuid").union(src_topic.select("chunk_uuid")).distinct()
+    # ONE aggregation replaces the old (distinct -> join -> groupBy-max)
+    # chain: the cosine score is a FUNCTION of chunk_uuid (one vector row
+    # per chunk), so the cross-source dedup winner — max struct(score, sr,
+    # source) in _cap_tiers_takeordered — reduces to max struct(sr, source):
+    # the score field is constant within a chunk's group and never breaks a
+    # tie. Topic membership rides along as a flag instead of a second
+    # deduped branch.
+    src_rank = (
+        F.when(F.col("source") == "entity", 3)
+        .when(F.col("source") == "global", 2)
+        .otherwise(1)
     )
-    # chunk-vector scan 2 of 2: score ONLY the candidate hit set via a
-    # broadcast id join — the expensive expression never runs corpus-wide
-    scored_hits = (
-        chunk_vecs.join(F.broadcast(hit_ids), "chunk_uuid")
-        .withColumn("score", cosine_literal_expr("embedding", qv))
-        .select("chunk_uuid", "score")
+    all_tags = src_entity.unionByName(pass2).unionByName(src_global)
+    per_chunk = all_tags.groupBy("chunk_uuid").agg(
+        F.max(
+            F.when(
+                F.col("source") != "topic",
+                F.struct(src_rank.alias("sr"), F.col("source")),
+            )
+        ).alias("m"),
+        F.max((F.col("source") == "topic").cast("int")).alias("has_topic"),
+    )
+    # the candidate set joins the cached skinny scores on chunk_uuid (two
+    # skinny shuffles; no driver-side broadcast of a possibly corpus-scale
+    # id set, no embedding bytes through the exchange)
+    joined = (
+        per_chunk.join(scored, "chunk_uuid")
+        .select("chunk_uuid", "m", "has_topic", "score")
         .cache()
     )
-    final = _cap_tiers_takeordered(
-        all_src.join(scored_hits, "chunk_uuid"),
-        src_topic.join(scored_hits, "chunk_uuid"),
-        caps,
-        relevance_threshold,
+    main = joined.where(F.col("m").isNotNull()).select(
+        "chunk_uuid", F.col("m.source").alias("source"), "score"
     )
+    high = (
+        main.where(F.col("score") >= relevance_threshold)
+        .withColumn("relevance", F.lit("high"))
+        .orderBy(F.desc("score"), "chunk_uuid")
+        .limit(caps.get("high", 30))
+    )
+    low = (
+        # NULL scores land in the LOW tier, exactly like relevance_split's
+        # `otherwise` branch in the lazy path (ADVICE r4)
+        main.where(
+            (F.col("score") < relevance_threshold) | F.col("score").isNull()
+        )
+        .withColumn("relevance", F.lit("low"))
+        .orderBy(F.desc("score"), "chunk_uuid")
+        .limit(caps.get("low", 20))
+    )
+    capped = high.unionByName(low)
+    topic_capped = (
+        joined.where(F.col("has_topic") == 1)
+        .select("chunk_uuid", F.lit("topic").alias("source"), "score")
+        .orderBy(F.desc("score"), "chunk_uuid")
+        .limit(caps.get("topic", 15))
+        .withColumn("relevance", F.lit("topic"))
+    )
+    topic_only = topic_capped.join(
+        F.broadcast(capped.select("chunk_uuid")), "chunk_uuid", "left_anti"
+    )
+    final = capped.unionByName(topic_only)
     # the selection is <= high+low+topic rows: land it driver-side (ONE
     # job), then release every cache — a long-lived session answers many
     # questions and must not accumulate executor storage
     rows = final.collect()
     schema = final.schema
-    for c in (seed_edges, pass2, scored_hits):
+    for c in (seed_edges, scored, joined):
         c.unpersist()
     return spark.createDataFrame(rows, schema)
 
