@@ -209,16 +209,26 @@ def provenance_left_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def or_join_union_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: OR-predicate join rewritten as union of two equi-joins (Catalyst
-    would otherwise pick a BroadcastNestedLoopJoin for the OR condition)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    would otherwise pick a BroadcastNestedLoopJoin for the OR condition).
+
+    Round-6 physical rewrite, same rows: the old shape joined lineitem with
+    part TWICE and deduped the 2x post-join rows (brand string included) in
+    one wide exchange. Because the dedup key (l_orderkey, l_linenumber,
+    p_partkey) is exactly the lineitem-side candidate triple and
+    dropDuplicates commutes with the inner equi-join (p_partkey unique in
+    part; p_brand functionally determined by it), the dedup now runs FIRST
+    over the narrow int triples from ONE lineitem scan (both key columns
+    exploded), and part joins once, after, by broadcast — guide §2.3
+    'project before the exchange' / §2.4 'remove shuffles outright'."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.explode(F.array("l_partkey", "l_suppkey")).alias("p_partkey"),
+    )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    via_part = li.join(p, li["l_partkey"] == p["p_partkey"])
-    via_supp = li.join(p, li["l_suppkey"] == p["p_partkey"])
-    cols = ["l_orderkey", "l_linenumber", "p_partkey", "p_brand"]
     return (
-        via_part.select(*cols)
-        .union(via_supp.select(*cols))
-        .dropDuplicates(["l_orderkey", "l_linenumber", "p_partkey"])
+        li.dropDuplicates(["l_orderkey", "l_linenumber", "p_partkey"])
+        .join(F.broadcast(p), "p_partkey")
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .orderBy("p_brand")
@@ -281,17 +291,27 @@ def semi_join_between(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_dedup_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/W2 keep-the-best dedup. Round-6 physical rewrite, same rows: the
+    row_number window (full shuffle + per-partition SORT of every order row)
+    is an argmax in disguise — rank 1 by (price desc, orderkey asc) is
+    max(struct(price, -orderkey)) — so a hash aggregation with map-side
+    partial merge replaces Exchange+Sort+Window (guide §2.3 'aggregate
+    before you shuffle'; o_totalprice is non-null in this corpus, and struct
+    comparison is field-ordered, so the tie-break is identical)."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.col("o_orderkey")
-    )
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("o_totalprice"), (-F.col("o_orderkey")).alias("neg_ok")
+                )
+            ).alias("m")
+        )
         .select(
             "o_custkey",
-            "o_orderkey",
-            F.round("o_totalprice", 2).alias("best_price"),
+            (-F.col("m.neg_ok")).alias("o_orderkey"),
+            F.round("m.o_totalprice", 2).alias("best_price"),
         )
     )
 

@@ -24,6 +24,21 @@ from pyspark.sql import functions as F
 from .dedup import cosine_expr
 
 
+def _refan_if_dense(df: DataFrame, key: str) -> DataFrame:
+    """Re-fan a compute-heavy scan whose upstream file layout would pin it
+    to a handful of tasks (one dense parquet file = one unsplittable row
+    group at these sizes). Round-6: the ann scoring pass ran on ONE core at
+    every sf because the embeddings table is a single small file — the
+    measured cost was partition-count-bound, not work-bound (guide §2.5
+    input skew / §6 input split size). Only fires when the scan is narrower
+    than half the session parallelism, so a real multi-file corpus at scale
+    keeps its natural partitioning and never pays the exchange."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target, key)
+    return df
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -33,11 +48,15 @@ def brute_force_topk(
     """Exact top-k neighbors for each query vector.
 
     queries: (query_id, q_emb). Broadcast the (small) query side; the corpus
-    side streams — no shuffle of the big table at all.
+    side streams — no shuffle of the big table at all (the dense-layout
+    re-fan above only triggers on small single-file inputs).
     """
     q = F.broadcast(queries.select("query_id", F.col("q_emb").alias("emb_q")))
     scored = (
-        embeddings.select(F.col("vec_id"), F.col("embedding").alias("emb_c"))
+        _refan_if_dense(
+            embeddings.select(F.col("vec_id"), F.col("embedding").alias("emb_c")),
+            "vec_id",
+        )
         .crossJoin(q)
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn("cosine", cosine_expr("emb_c", "emb_q"))
