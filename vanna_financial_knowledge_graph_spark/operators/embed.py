@@ -92,7 +92,12 @@ def build_vectors(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    if width:
+    # re-fan only when the unioned scan is actually narrower than the
+    # requested width (round-6): at larger scale factors the union of the
+    # four input tables already carries more scan partitions than cores,
+    # and the unconditional exchange just moved every text byte for nothing
+    # (guide §2.4 — remove shuffles outright)
+    if width and out.rdd.getNumPartitions() < width:
         out = out.repartition(width, "uuid")
     return with_embedding(out, "text").drop("text")
 

@@ -106,6 +106,17 @@ class PipelineRun:
         self.stage_stats: dict[str, dict] = {}
         self.executed: list[str] = []
         self.skipped: list[str] = []
+        # Stage-write codec (guide §6): compression trades CPU for I/O, and
+        # on a RAM-backed scratch (tmpfs) there is no I/O to win — zstd on
+        # /dev/shm measured ~20% of the whole DAG's wall in pure compressor
+        # CPU at sf1.0. Default adapts to the work dir's medium; override
+        # with VKG_STAGE_CODEC (production on real disks/object stores wants
+        # zstd, which stays the default off tmpfs).
+        self.stage_codec = os.environ.get("VKG_STAGE_CODEC") or (
+            "uncompressed"
+            if os.path.abspath(work_dir).startswith(("/dev/shm", "/run/shm"))
+            else "zstd"
+        )
         os.makedirs(work_dir, exist_ok=True)
 
     # -- stage runner ------------------------------------------------------
@@ -141,7 +152,9 @@ class PipelineRun:
 
         t0 = time.time()
         df = build()
-        df.write.mode("overwrite").parquet(path)
+        df.write.mode("overwrite").option(
+            "compression", self.stage_codec
+        ).parquet(path)
         out = self.spark.read.parquet(path)
         # per-partition lineage metrics (north rule): rows per output file,
         # read from the parquet FOOTERS — no second pass over the data
