@@ -125,7 +125,10 @@ def test_linking_join_broadcasts_canonical_map(spark, kg):
 
 
 def test_brute_force_topk_streams_corpus(spark):
-    """Query side broadcast; corpus side must not shuffle before scoring."""
+    """Query side broadcast; corpus side must not shuffle before scoring —
+    EXCEPT the round-6 dense-layout re-fan, which fires only when the scan
+    carries fewer partitions than half the session parallelism (the sf0.001
+    single-file case) and repartitions by vec_id exactly once."""
     import pyspark.sql.functions as F
 
     from vanna_financial_knowledge_graph_spark.operators.similarity import (
@@ -138,7 +141,33 @@ def test_brute_force_topk_streams_corpus(spark):
     )
     p = _plan(brute_force_topk(emb, q, 5))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
-    # the only wide exchange allowed is the final per-query rank window
+    # below the per-query rank window, the only allowed exchange is the
+    # single vec_id re-fan of the (pathologically narrow) corpus scan
+    before_window = p.split("Window")[-1]
+    n_hash_exchanges = before_window.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 1
+    if n_hash_exchanges:
+        assert "hashpartitioning(vec_id" in before_window
+
+
+def test_brute_force_topk_no_refan_when_wide(spark):
+    """A corpus already wider than the parallelism keeps its layout: the
+    re-fan gate must NOT add an exchange (the 100 TB contract — the big
+    side never shuffles)."""
+    import pyspark.sql.functions as F
+
+    from vanna_financial_knowledge_graph_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    wide = emb.repartition(
+        spark.sparkContext.defaultParallelism * 2, "vec_id"
+    ).localCheckpoint(eager=True)
+    q = wide.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    p = _plan(brute_force_topk(wide, q, 5))
     before_window = p.split("Window")[-1]
     assert "Exchange hashpartitioning" not in before_window
 

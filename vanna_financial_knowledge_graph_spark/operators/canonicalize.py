@@ -172,60 +172,154 @@ def connected_components(
             [(n, comp[n]) for n in node_list], "node string, component string"
         )
 
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
     import time as _time
 
+    spark = nodes.sparkSession
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     sym = sym.localCheckpoint(eager=True)
-    labels = nodes.select(F.col("node"), F.col("node").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
 
+    # The carried `labels` frame is materialized to PARQUET each iteration,
+    # not localCheckpoint (round-6): checkpointing preserves the child
+    # plan's estimated statistics, and the size-only stats visitor
+    # MULTIPLIES sizeInBytes through every join — so stats compounded
+    # doubly-exponentially across iterations until the driver spent minutes
+    # per planning pass multiplying million-bit integers (caught via a
+    # driver thread dump, guide §7.3: SizeInBytesOnlyStatsPlanVisitor hot
+    # in BigInteger.multiply). A file scan resets stats to real sizes, so
+    # growth stays linear; on a cluster the scratch dir is a shared
+    # filesystem (VKG_CC_SCRATCH), locally tmpfs.
+    scratch_base = _os.environ.get("VKG_CC_SCRATCH") or (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else None
+    )
+    ckpt_dir = _tempfile.mkdtemp(prefix="vkg_cc_", dir=scratch_base)
+
+    def _roundtrip(df: DataFrame, name: str) -> DataFrame:
+        path = _os.path.join(ckpt_dir, name)
+        df.write.mode("overwrite").option("compression", "uncompressed").parquet(
+            path
+        )
+        return spark.read.parquet(path)
+
+    labels = _roundtrip(
+        nodes.select(F.col("node"), F.col("node").alias("label")), "labels_0"
+    )
+
+    # Delta propagation (round-6): after the mega-components converge, most
+    # nodes' labels are stable, yet the old loop re-shuffled every edge and
+    # re-aggregated every node each iteration. An offer from an UNCHANGED
+    # neighbor is redundant (its label was already folded in the iteration
+    # it last changed), so:
+    #   * min-offers flow only from edges whose dst changed last iteration,
+    #   * the pointer-jump lookup is restricted to nodes whose label points
+    #     into the recently-changed set (a stale pointer is impossible: a
+    #     node that acquires a label is jump-examined the same iteration,
+    #     and a node whose label's label later drops sees that target in
+    #     the next delta),
+    #   * convergence = empty delta, replacing the full-table changed-count
+    #     join.
+    # The fixpoint is the same component-min labeling — improvements land
+    # with at most the same one-iteration delay the original schedule had —
+    # validated analytically at 1.5M nodes by scripts/bench_cc_scale.py and
+    # against the driver union-find by pytest. Late iterations now cost
+    # delta-sized joins plus map-side scans of the checkpointed frames
+    # instead of full shuffles (guide §2.4).
+    delta = labels
+    prev_changed = None
     for _it in range(max_iter):
         _t0 = _time.time()
-        neigh = (
+        # once the delta is provably small (its exact row count is last
+        # iteration's `changed`), hint it broadcast so the big frames (sym,
+        # labels, stepped) stop shuffling — late iterations become pure
+        # map-side scans; checkpointed frames carry estimated stats the
+        # planner won't trust for an automatic conversion
+        small = prev_changed is not None and prev_changed <= 100_000
+
+        def _b(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if small else df
+
+        offers = (
             sym.alias("e")
-            .join(labels.alias("l"), F.col("e.dst") == F.col("l.node"))
-            .select(F.col("e.src").alias("node"), F.col("l.label").alias("label"))
+            .join(_b(delta).alias("d"), F.col("e.dst") == F.col("d.node"))
+            .select(F.col("e.src").alias("node"), F.col("d.label").alias("label"))
         )
-        cand = labels.unionByName(neigh)
         # two-phase salted min: partial min per (node, salt) bucket, then
         # final min per node (min is associative, so salting is lossless)
-        partial = (
-            cand.withColumn(
+        upd = (
+            offers.withColumn(
                 "salt", F.pmod(F.xxhash64(F.col("label")), F.lit(_SALT_BUCKETS))
             )
             .groupBy("node", "salt")
             .agg(F.min("label").alias("label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
         )
-        stepped = partial.groupBy("node").agg(F.min("label").alias("label"))
-        # pointer jumping (label <- label's label): halves the remaining
-        # diameter each round, so convergence is O(log diameter) instead of
-        # O(diameter) — essential for long alias chains / mega-components.
-        jumped = (
-            stepped.alias("a")
-            .join(
-                stepped.select(
-                    F.col("node").alias("lnode"), F.col("label").alias("llabel")
-                ).alias("b"),
-                F.col("a.label") == F.col("b.lnode"),
-                "left",
-            )
+        # strict improvements only
+        s_delta = (
+            _b(upd).alias("u")
+            .join(labels.alias("l"), "node")
+            .where(F.col("u.label") < F.col("l.label"))
+            .select("node", F.col("u.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        stepped = (
+            labels.alias("l")
+            .join(_b(s_delta).alias("s"), "node", "left")
             .select(
-                F.col("a.node").alias("node"),
+                "node",
                 F.least(
-                    F.col("a.label"), F.coalesce(F.col("b.llabel"), F.col("a.label"))
+                    F.col("l.label"), F.coalesce(F.col("s.label"), F.col("l.label"))
                 ).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
-        new_labels = jumped.localCheckpoint(eager=True)
-
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
+        # pointer jumping (label <- label's label), delta-targeted: look up
+        # stepped() only for keys that can yield an improvement — the
+        # labels held by just-changed nodes and the changed node ids
+        # themselves. O(log diameter) convergence is preserved.
+        look_keys = (
+            s_delta.select(F.col("label").alias("lnode"))
+            .union(s_delta.select(F.col("node").alias("lnode")))
+            .union(delta.select(F.col("node").alias("lnode")))
+            .distinct()
         )
+        lk = stepped.join(
+            _b(look_keys), stepped["node"] == look_keys["lnode"]
+        ).select(F.col("lnode"), F.col("label").alias("llabel"))
+        j_delta = (
+            stepped.alias("a")
+            .join(_b(lk).alias("b"), F.col("a.label") == F.col("b.lnode"))
+            .where(F.col("b.llabel") < F.col("a.label"))
+            .groupBy(F.col("a.node").alias("node"))
+            .agg(F.min("b.llabel").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_labels = _roundtrip(
+            stepped.alias("t")
+            .join(j_delta.alias("j"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("t.label"), F.coalesce(F.col("j.label"), F.col("t.label"))
+                ).alias("label"),
+            ),
+            f"labels_{(_it + 1) % 2}",
+        )
+        delta = (
+            _b(
+                s_delta.select("node")
+                .union(j_delta.select("node"))
+                .distinct()
+            )
+            .join(new_labels, "node")
+            .localCheckpoint(eager=True)
+        )
+        changed = delta.count()
+        prev_changed = changed
         labels = new_labels
         # observability hook (scripts/bench_cc_scale.py): per-iteration
         # wall + label-change count, no extra jobs beyond the existing
@@ -240,7 +334,14 @@ def connected_components(
             )
         if changed == 0:
             break
-    return labels.withColumnRenamed("label", "component")
+    # hand the result back OFF the scratch dir (one checkpoint of the final
+    # parquet scan — its stats are real file sizes, so nothing compounds),
+    # then drop the scratch files
+    out = labels.withColumnRenamed("label", "component").localCheckpoint(
+        eager=True
+    )
+    _shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return out
 
 
 def _canonical_map_driver(

@@ -73,9 +73,15 @@ def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(t)
     toks = F.split(F.trim(t), r"\s+")
     n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(toks))
-    n_alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
-    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
-    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    # class-member counts as length deltas of translate() deletions: same
+    # codepoint counts as the old regexp_replace("[^...]", "") formulation
+    # but a single table-lookup pass per class instead of a regex engine
+    # walk — the three regexes were ~80% of this operator's compute
+    # (round-6, guide §1.2 'per-task work')
+    _alpha = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    n_alpha = n_chars - F.length(F.translate(t, _alpha, ""))
+    n_punct = n_chars - F.length(F.translate(t, ".,;:!?", ""))
+    n_digit = n_chars - F.length(F.translate(t, "0123456789", ""))
     stop_hits = _marker_count(text_col, ["the", "and", "of", "to", "in", "a", "is"])
     mean_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
