@@ -225,13 +225,27 @@ class PipelineRun:
             params=f"{self.repartition}|{self.replicate}|{self.dedup_urls}",
         )
         # Width of the CPU-bound python stages. The parquet scans feeding
-        # them CANNOT deliver parallelism by themselves: AQE's 8MB advisory
-        # coalesces the url-dedup shuffle to ~16 dense output files, each a
-        # single (unsplittable) row group — so without an explicit re-fan,
-        # extract/annotate run 16-wide no matter how many cores exist, and
-        # scaling flatlines. One cheap exchange of the text buys exact,
-        # uniform width for ~100x its cost in downstream per-row CPU.
+        # them CANNOT deliver parallelism by themselves at small scale:
+        # AQE's 8MB advisory coalesces the url-dedup shuffle to ~16 dense
+        # output files, each a single (unsplittable) row group — so without
+        # an explicit re-fan, extract/annotate run 16-wide no matter how
+        # many cores exist, and scaling flatlines. One cheap exchange of
+        # the text buys exact, uniform width for ~100x its cost in
+        # downstream per-row CPU. Round-6: the ANNOTATIONS re-fan is gated
+        # on the actual scan width — the extracted stage's own url-hash
+        # repartition (kept unconditional: it also guarantees the written
+        # file layout is balanced for every downstream scan) means the
+        # extracted parquet re-scans at >= width balanced partitions at
+        # larger scale factors, and re-exchanging all text a second time
+        # bought nothing (measured ~2s of the sf1.0 annotations stage;
+        # guide §2.4).
         width = self.repartition or self.spark.sparkContext.defaultParallelism * 2
+
+        def _fan(df: DataFrame) -> DataFrame:
+            if df.rdd.getNumPartitions() < width:
+                return df.repartition(width, "url")
+            return df
+
         extracted = self._run_stage(
             "extracted",
             ["pages"],
@@ -254,9 +268,7 @@ class PipelineRun:
                 "annotations": lambda: self._run_stage(
                     "annotations",
                     ["extracted"],
-                    lambda: build_annotations(
-                        spark, extracted.repartition(width, "url"), gid
-                    ),
+                    lambda: build_annotations(spark, _fan(extracted), gid),
                 ),
             }
         )
