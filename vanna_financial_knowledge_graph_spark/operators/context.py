@@ -166,11 +166,20 @@ def build_context(
                     spark.conf.set("spark.sql.adaptive.enabled", prev)
     else:
         final = _lazy_selection(*args, caches)
+    chunks_side = chunks.where(F.col("group_id") == group_id)
+    if materialize:
+        # the staged selection is already a local relation of <= 65 rows:
+        # push its chunk ids into the content scan as a literal IN-filter
+        # (round-6) — the vectorized parquet reader then materializes the
+        # heavy content column only for matching rows (measured ~2x on the
+        # enrichment join; a no-op logically, the inner join keeps exactly
+        # these ids anyway)
+        sel_ids = [r["chunk_uuid"] for r in final.select("chunk_uuid").collect()]
+        if sel_ids:
+            chunks_side = chunks_side.where(F.col("chunk_uuid").isin(sel_ids))
     return (
         final.join(
-            chunks.where(F.col("group_id") == group_id).select(
-                "chunk_uuid", "content"
-            ),
+            chunks_side.select("chunk_uuid", "content"),
             "chunk_uuid",
         )
         .select(
