@@ -13,16 +13,20 @@ tests/test_embed.py::test_context_modes_agree):
 * materialize=True (default, the production read path): STAGED driver-
   assisted execution. Every intermediate that is dimension-sized by
   construction — the seed entity uuid, the top-k neighbor uuids, the seed's
-  topic uuids, the global top-k chunk ids, and the final <= high+low+topic
-  capped selection — is collected to the driver and fed back as literal
-  predicates. Consequence at any scale: the edge table is scanned exactly
-  TWICE (seed pass, neighbor+topic pass), both with pushable from/to-uuid
-  IN-filters; the chunk-vector table exactly TWICE (global top-k — a
-  TakeOrderedAndProject with a fully-codegen'd literal-cosine, and hit-set
-  scoring via a broadcast id join); ~5 tiny jobs total, zero lingering
-  caches. This mirrors the reference's own sequential query plan
-  (researcher.py fetches neighbors, then their chunks) — the collected
-  values are a handful of uuids, never corpus-sized data.
+  topic uuids, and the final <= high+low+topic capped selection — is
+  collected to the driver and fed back as literal predicates. The candidate
+  chunk set is NOT treated as dimension-sized (a hot entity's 1-hop
+  neighborhood is corpus-scale — ~212k of 216k chunks at sf1.0), so it
+  never touches the driver: one map-side-partial groupBy dedups the source
+  tags and joins a skinny cached (chunk_uuid, score) projection.
+  Consequence at any scale: the edge table is scanned exactly TWICE (seed
+  pass, neighbor+topic pass), both with pushable from/to-uuid IN-filters;
+  the chunk-vector table exactly ONCE (the cached score projection, fully
+  populated by the concurrent global top-k — a TakeOrderedAndProject over
+  the codegen'd literal cosine); 4 driver jobs / 3 sequential rounds,
+  zero lingering caches. This mirrors the reference's own sequential query
+  plan (researcher.py fetches neighbors, then their chunks) — the
+  collected values are a handful of uuids, never corpus-sized data.
 * materialize=False: ONE fully lazy composed plan (for composition or plan
   inspection); internal cached branches stay alive and the CALLER owns
   their lifetime — pass caches=[] to receive them for unpersist.
